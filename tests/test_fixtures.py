@@ -1,0 +1,97 @@
+import numpy as np
+import pytest
+
+from topo2osm_spark.functions import geom
+from topo2osm_spark.sources import fixtures, sosi
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return fixtures.generate_documents(40, n_municipalities=8, seed=42)
+
+
+def test_schema_matches_input_hint(corpus):
+    assert corpus.schema.names == ["doc_id", "spans"]
+    span_type = corpus.schema.field("spans").type.value_type
+    assert [span_type.field(i).name for i in range(4)] == [
+        "kind", "text", "media_ref", "offset"]
+    import pyarrow as pa
+    assert span_type.field("offset").type == pa.int32()
+
+
+def test_deterministic(corpus):
+    again = fixtures.generate_documents(40, n_municipalities=8, seed=42)
+    assert corpus.equals(again)
+    other = fixtures.generate_documents(40, n_municipalities=8, seed=43)
+    assert not corpus.equals(other)
+
+
+def test_offsets_strictly_increasing_and_array_shuffled(corpus):
+    rows = corpus.to_pylist()
+    any_unsorted = False
+    for r in rows:
+        offs = [s["offset"] for s in r["spans"]]
+        assert len(set(offs)) == len(offs)  # unique -> total order
+        if offs != sorted(offs):
+            any_unsorted = True
+    assert any_unsorted  # storage order must NOT encode span order
+
+
+def test_span_kinds(corpus):
+    kinds = {s["kind"] for r in corpus.to_pylist() for s in r["spans"]}
+    assert kinds == {"text", "sosi", "media"}
+    for r in corpus.to_pylist():
+        for s in r["spans"]:
+            if s["kind"] == "media":
+                assert s["media_ref"].startswith("tile/")
+                z, x, y = map(int, s["media_ref"].split("/")[1:])
+                assert 10 <= z <= 14 and 0 <= x < 2**z and 0 <= y < 2**z
+            else:
+                assert s["media_ref"] == ""
+
+
+def test_sosi_spans_parse_and_interiors_inside(corpus):
+    n_flate = n_inside = n_shared_ref = 0
+    for r in corpus.to_pylist():
+        for s in r["spans"]:
+            if s["kind"] != "sosi":
+                continue
+            objs = sosi.parse_fragment(s["text"], r["doc_id"], 0)
+            by_id = {o["obj_id"]: o for o in objs}
+            for o in objs:
+                if o["obj_kind"] != "FLATE":
+                    continue
+                n_flate += 1
+                # chain outer-ring curves and ray-cast the interior point
+                outer = [(rf, hg) for rf, hg in zip(o["refs"], o["hole_group"]) if hg == 0]
+                pts = []
+                ok = True
+                for rf, _ in outer:
+                    c = by_id.get(abs(rf))
+                    if c is None:
+                        ok = False  # orphan-ref error case
+                        break
+                    cc = c["coords"] if rf > 0 else c["coords"][::-1]
+                    pts.extend(cc if not pts else cc[1:])
+                if not ok or len(pts) < 4:
+                    continue
+                arr = np.array([p[:2] for p in pts])
+                if not (arr[0] == arr[-1]).all():
+                    continue  # unclosed error case
+                ipn, ipe = o["coords"][0][0], o["coords"][0][1]
+                if geom.points_in_ring(np.array([ipn]), np.array([ipe]),
+                                       arr[:, 0], arr[:, 1])[0]:
+                    n_inside += 1
+                refs_abs = [abs(x) for x in o["refs"]]
+                if o["objtype"] == "Skog" and len(refs_abs) == 2:
+                    n_shared_ref += 1
+    assert n_flate > 20
+    assert n_inside >= 0.95 * n_flate  # err cases excluded above already
+    assert n_shared_ref > 0  # wood sharing a lake curve id occurs
+
+
+def test_zipf_municipality_skew(corpus):
+    from collections import Counter
+    munis = Counter(r["doc_id"].split("-")[0] for r in corpus.to_pylist())
+    counts = sorted(munis.values(), reverse=True)
+    assert counts[0] >= 3 * counts[-1]  # head municipality is hot

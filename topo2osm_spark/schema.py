@@ -1,0 +1,77 @@
+"""Engine schemas (SURVEY.md §1.2) — fixed StructTypes, no inference.
+
+The input table shape is the driver's input_hint (BASELINE.json:15):
+documents(doc_id string, spans array<struct<kind, text, media_ref,
+offset>>). Everything downstream is a fixed columnar schema so
+Catalyst can prune nested fields and the Arrow boundary stays typed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+SPAN = T.StructType([
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("media_ref", T.StringType(), True),
+    T.StructField("offset", T.IntegerType(), False),
+])
+
+DOCUMENTS = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("spans", T.ArrayType(SPAN), False),
+])
+
+# Output of the SOSI tokenizer (mapInArrow): one row per parsed object.
+# coords are meters in the span's UTM zone: [north, east] or [north,
+# east, height]; kp marks junction-point coordinate indices; refs /
+# hole_group only for FLATE (parallel arrays, hole_group 0 = outer).
+PARSED_OBJECTS = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("span_idx", T.IntegerType(), False),
+    T.StructField("obj_kind", T.StringType(), False),
+    T.StructField("obj_id", T.LongType(), False),
+    T.StructField("objtype", T.StringType(), True),
+    T.StructField("coords", T.ArrayType(T.ArrayType(T.DoubleType())), True),
+    T.StructField("kp", T.ArrayType(T.IntegerType()), True),
+    T.StructField("refs", T.ArrayType(T.LongType()), True),
+    T.StructField("hole_group", T.ArrayType(T.IntegerType()), True),
+    T.StructField("koordsys", T.IntegerType(), False),
+    T.StructField("enhet", T.DoubleType(), False),
+])
+
+# Reprojected objects: coords -> lats/lons arrays (parallel), heights
+# kept when present.
+GEO_OBJECTS = T.StructType(PARSED_OBJECTS.fields + [
+    T.StructField("lats", T.ArrayType(T.DoubleType()), True),
+    T.StructField("lons", T.ArrayType(T.DoubleType()), True),
+])
+
+ASSEMBLED_RINGS = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("span_idx", T.IntegerType(), False),
+    T.StructField("flate_id", T.LongType(), False),
+    T.StructField("objtype", T.StringType(), True),
+    T.StructField("ring_idx", T.IntegerType(), False),
+    T.StructField("is_hole", T.BooleanType(), False),
+    T.StructField("lats", T.ArrayType(T.DoubleType()), False),
+    T.StructField("lons", T.ArrayType(T.DoubleType()), False),
+    T.StructField("closed", T.BooleanType(), False),
+    T.StructField("area", T.DoubleType(), False),
+    T.StructField("n_curves", T.IntegerType(), False),
+])
+
+NODES = T.StructType([
+    T.StructField("node_id", T.LongType(), False),
+    T.StructField("lat", T.DoubleType(), False),
+    T.StructField("lon", T.DoubleType(), False),
+    T.StructField("n_refs", T.IntegerType(), False),
+])
+
+LINEAGE = T.StructType([
+    T.StructField("stage", T.StringType(), False),
+    T.StructField("partition_id", T.IntegerType(), False),
+    T.StructField("rows", T.LongType(), False),
+    T.StructField("fingerprint", T.StringType(), False),
+    T.StructField("wall_ms", T.LongType(), False),
+])

@@ -1,0 +1,205 @@
+"""SOSI fragment tokenizer (SURVEY.md §2 ops 5, 7, 8, 9) — Arrow batch.
+
+Parses the SOSI subset defined in FIXTURES.md (the executable spec;
+the reference mount was empty, see SURVEY.md §0 — grammar derives
+from the public Kartverket SOSI standard and the reference's known
+behavior [U: topo2osm.py::file reader / object parser]):
+
+    .HODE ..TRANSPAR ...KOORDSYS n ...ORIGO-NØ n e ...ENHET u
+    .KURVE id: ..OBJTYPE t ..NØ|..NØH <int rows> [...KP n]
+    .FLATE id: ..OBJTYPE t ..REF :i :-j ( :k ) ..NØ <one row>
+    .PUNKT id: ..OBJTYPE t ..NØ <one row>
+    .SLUTT
+
+Exposed two ways:
+  * parse_fragment(text)   — pure-Python single fragment (tests, small)
+  * tokenize_spans(df)     — Spark mapInArrow operator: batches of
+    exploded sosi spans in, PARSED_OBJECTS rows out. The Python loop
+    is per-span within an Arrow batch (batch-granular, not a per-row
+    Spark UDF); the coordinate hot path is np.fromstring over the
+    joined coordinate block, which is where ~90% of the bytes are.
+
+Coordinates are emitted in meters ([north, east] or [north, east,
+height]) after applying ENHET scale and ORIGO offset, matching the
+reference's int×ENHET semantics.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Iterator
+
+import numpy as np
+import pyarrow as pa
+
+_OBJ_RE = re.compile(r"^\.(KURVE|FLATE|PUNKT|TEKST)\s+(\d+)\s*:", re.M)
+_REF_TOKEN_RE = re.compile(r":(-?\d+)|(\()|(\))")
+_NUM_LINE_RE = re.compile(r"^-?\d")
+
+
+def _parse_header(text: str) -> dict:
+    hdr = {"koordsys": 23, "enhet": 1.0, "origo_n": 0.0, "origo_e": 0.0}
+    m = re.search(r"\.\.\.KOORDSYS\s+(\d+)", text)
+    if m:
+        hdr["koordsys"] = int(m.group(1))
+    m = re.search(r"\.\.\.ENHET\s+([0-9.eE+-]+)", text)
+    if m:
+        hdr["enhet"] = float(m.group(1))
+    m = re.search(r"\.\.\.ORIGO-NØ\s+(-?\d+)\s+(-?\d+)", text)
+    if m:
+        hdr["origo_n"] = float(m.group(1))
+        hdr["origo_e"] = float(m.group(2))
+    return hdr
+
+
+def _parse_coord_block(lines: list[str], enhet: float, origo_n: float,
+                       origo_e: float) -> tuple[list[list[float]], list[int]]:
+    """Coordinate lines (+ interleaved ...KP markers) -> (coords, kp)."""
+    coords: list[list[float]] = []
+    kp: list[int] = []
+    num_rows: list[str] = []
+    for ln in lines:
+        if ln.startswith("...KP"):
+            if coords or num_rows:
+                # KP marks the immediately preceding coordinate
+                kp.append(len(coords) + len(num_rows) - 1)
+            continue
+        if _NUM_LINE_RE.match(ln):
+            num_rows.append(ln)
+    if num_rows:
+        # hot path: one parse over the joined block when width is uniform
+        width = len(num_rows[0].split())
+        blob = " ".join(num_rows)
+        vals = np.array(blob.split(), dtype=np.float64)
+        if vals.size == width * len(num_rows):
+            arr = vals.reshape(-1, width)
+        else:  # ragged (mixed NØ/NØH) — slow path
+            arr = None
+        if arr is not None:
+            out = np.empty_like(arr)
+            out[:, 0] = origo_n + arr[:, 0] * enhet
+            out[:, 1] = origo_e + arr[:, 1] * enhet
+            if width > 2:
+                out[:, 2] = arr[:, 2] * enhet
+            coords = out.tolist()
+        else:
+            for r in num_rows:
+                p = r.split()
+                row = [origo_n + float(p[0]) * enhet, origo_e + float(p[1]) * enhet]
+                if len(p) > 2:
+                    row.append(float(p[2]) * enhet)
+                coords.append(row)
+    return coords, kp
+
+
+def _parse_refs(ref_text: str) -> tuple[list[int], list[int]]:
+    """..REF token stream -> (signed refs, hole_group ids).
+
+    Outer ring = group 0; each parenthesised group = hole group 1, 2, …
+    Minus sign = curve traversed reversed [U: topo2osm.py::REF parser].
+    """
+    refs: list[int] = []
+    groups: list[int] = []
+    g = 0
+    depth = 0
+    for m in _REF_TOKEN_RE.finditer(ref_text):
+        if m.group(2):  # '('
+            depth += 1
+            g += 1
+        elif m.group(3):  # ')'
+            depth -= 1
+        else:
+            refs.append(int(m.group(1)))
+            groups.append(g if depth > 0 else 0)
+    return refs, groups
+
+
+def parse_fragment(text: str, doc_id: str = "", span_idx: int = 0) -> list[dict]:
+    """Parse one SOSI fragment into PARSED_OBJECTS-shaped dicts."""
+    hdr = _parse_header(text)
+    out: list[dict] = []
+    matches = list(_OBJ_RE.finditer(text))
+    for i, m in enumerate(matches):
+        kind = m.group(1)
+        obj_id = int(m.group(2))
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(text)
+        body = text[m.end():end]
+        lines = [ln.strip() for ln in body.split("\n") if ln.strip()]
+        objtype = None
+        coord_lines: list[str] = []
+        ref_parts: list[str] = []
+        mode = None
+        for ln in lines:
+            if ln.startswith("..OBJTYPE"):
+                objtype = ln.split(None, 1)[1].strip()
+                mode = None
+            elif ln.startswith("..REF"):
+                ref_parts.append(ln[5:])
+                mode = "refs"
+            elif ln.startswith("..NØ"):  # ..NØ and ..NØH
+                mode = "coords"
+            elif ln.startswith("...KP"):
+                if mode == "coords":
+                    coord_lines.append(ln)
+            elif ln.startswith("."):
+                mode = None  # .SLUTT or unknown group
+            elif mode == "refs":
+                ref_parts.append(ln)
+            elif mode == "coords" and _NUM_LINE_RE.match(ln):
+                coord_lines.append(ln)
+        coords, kp = _parse_coord_block(
+            coord_lines, hdr["enhet"], hdr["origo_n"], hdr["origo_e"])
+        refs, hole_group = _parse_refs(" ".join(ref_parts)) if ref_parts else ([], [])
+        out.append({
+            "doc_id": doc_id,
+            "span_idx": span_idx,
+            "obj_kind": kind,
+            "obj_id": obj_id,
+            "objtype": objtype,
+            "coords": coords,
+            "kp": kp,
+            "refs": refs,
+            "hole_group": hole_group,
+            "koordsys": hdr["koordsys"],
+            "enhet": hdr["enhet"],
+        })
+    return out
+
+
+_ARROW_SCHEMA = pa.schema([
+    pa.field("doc_id", pa.string(), False),
+    pa.field("span_idx", pa.int32(), False),
+    pa.field("obj_kind", pa.string(), False),
+    pa.field("obj_id", pa.int64(), False),
+    pa.field("objtype", pa.string()),
+    pa.field("coords", pa.list_(pa.list_(pa.float64()))),
+    pa.field("kp", pa.list_(pa.int32())),
+    pa.field("refs", pa.list_(pa.int64())),
+    pa.field("hole_group", pa.list_(pa.int32())),
+    pa.field("koordsys", pa.int32(), False),
+    pa.field("enhet", pa.float64(), False),
+])
+
+
+def tokenize_arrow_batches(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel: (doc_id, span_idx, text) batches ->
+    PARSED_OBJECTS batches."""
+    for batch in batches:
+        doc_ids = batch.column("doc_id").to_pylist()
+        span_idxs = batch.column("span_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+        rows: list[dict] = []
+        for d, s, t in zip(doc_ids, span_idxs, texts):
+            if t:
+                rows.extend(parse_fragment(t, d, s))
+        if rows:
+            yield pa.RecordBatch.from_pylist(rows, schema=_ARROW_SCHEMA)
+
+
+def tokenize_spans(spans_df):
+    """Spark operator: DataFrame(doc_id, span_idx, text) ->
+    DataFrame(PARSED_OBJECTS). Narrow (no shuffle); Python boundary #1
+    of the pipeline (SURVEY.md §3.2 S2)."""
+    from topo2osm_spark.schema import PARSED_OBJECTS
+    return spans_df.select("doc_id", "span_idx", "text").mapInArrow(
+        tokenize_arrow_batches, PARSED_OBJECTS)
