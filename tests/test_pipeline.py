@@ -1,0 +1,171 @@
+"""End-to-end pipeline invariants on the deterministic corpus.
+
+These are the engine-side equivalents of the reference's golden
+fixtures (SURVEY.md §5.2): ring closure, orientation, shared-node
+dedup, span-sequence equality, tag table, tile alignment. All outputs
+are materialized ONCE (module fixture); assertions run on plain rows.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from topo2osm_spark.functions import cells, geom
+
+
+@pytest.fixture(scope="module")
+def out(pipeline_out):
+    """Collect every pipeline output once."""
+    collected = {}
+    for k in ("rings", "nodes", "ways", "relations", "echo",
+              "membership", "tile_assignments", "integrity"):
+        collected[k] = pipeline_out[k].collect()
+    collected["obj_kinds"] = {
+        r["obj_kind"]: r["n"]
+        for r in pipeline_out["objects"].groupBy("obj_kind")
+        .agg(F.count("*").alias("n")).collect()}
+    return collected
+
+
+def test_objects_parsed(out):
+    assert out["obj_kinds"].get("KURVE", 0) > 50
+    assert out["obj_kinds"].get("FLATE", 0) > 10
+
+
+def test_rings_closed_and_oriented(out):
+    rings = out["rings"]
+    assert len(rings) > 10
+    n_closed = 0
+    for r in rings:
+        if not r["closed"]:
+            continue  # ~1% deliberate error cases
+        n_closed += 1
+        lats, lons = np.array(r["lats"]), np.array(r["lons"])
+        assert lats[0] == lats[-1] and lons[0] == lons[-1]
+        area = geom.shoelace_area(lats, lons)
+        if r["is_hole"]:
+            assert area < 0
+        else:
+            assert area > 0
+        assert r["area"] == pytest.approx(area)
+    assert n_closed >= 0.9 * len(rings)
+
+
+def test_shared_curve_shares_all_node_ids(out, docs_df):
+    """Two FLATEs referencing the same curve share ALL its node ids
+    (FIXTURES.md golden check)."""
+    from collections import Counter
+    from topo2osm_spark.sources import sosi
+    target = None
+    for row in docs_df.collect():
+        for si, s in enumerate(row["spans"]):
+            if s["kind"] != "sosi":
+                continue
+            objs = sosi.parse_fragment(s["text"], row["doc_id"], si)
+            refcount = Counter(abs(r) for o in objs if o["obj_kind"] == "FLATE"
+                               for r in o["refs"])
+            shared = [c for c, n in refcount.items() if n >= 2]
+            if shared:
+                flates = [o["obj_id"] for o in objs if o["obj_kind"] == "FLATE"
+                          and shared[0] in [abs(r) for r in o["refs"]]]
+                curve = next(o for o in objs if o["obj_id"] == shared[0])
+                target = (row["doc_id"], si, set(flates), len(curve["coords"]))
+                break
+        if target:
+            break
+    assert target, "corpus must contain a shared-curve case"
+    doc_id, si, flate_ids, n_curve_pts = target
+    by_flate = {}
+    for w in out["ways"]:
+        if (w["doc_id"] == doc_id and w["span_idx"] == si
+                and w["geom_kind"] == "FLATE" and w["flate_id"] in flate_ids):
+            by_flate.setdefault(w["flate_id"], set()).update(w["node_ids"])
+    sets = list(by_flate.values())
+    assert len(sets) >= 2
+    assert len(sets[0] & sets[1]) >= n_curve_pts
+
+
+def test_span_sequence_equality(out, docs_df):
+    """Per-row invariant (BASELINE.json:15): echo == input ordered by
+    offset, fields (kind, text, media_ref, order)."""
+    echo = {r["doc_id"]: r["spans_sorted"] for r in out["echo"]}
+    for row in docs_df.collect():
+        expect = sorted(
+            [(s["offset"], s["kind"], s["text"], s["media_ref"]) for s in row["spans"]])
+        got = [(s["offset"], s["kind"], s["text"], s["media_ref"])
+               for s in echo[row["doc_id"]]]
+        assert got == expect
+
+
+def test_tags_applied(out):
+    lakes = [w for w in out["ways"] if w["objtype"] == "Innsjø"]
+    assert lakes and all(w["tags"]["natural"] == "water" for w in lakes)
+    coast = [w for w in out["ways"] if w["objtype"] == "Kystkontur"]
+    for c in coast:
+        assert c["tags"]["natural"] == "coastline"
+    # glue curves never become standalone ways
+    assert not any(w["objtype"] in ("Innsjøkant", "Skoggrense")
+                   and w["geom_kind"] == "KURVE" for w in out["ways"])
+
+
+def test_snap_merged_near_duplicates(out, docs_df):
+    """The generator seeds Sti paths whose first vertex sits within the
+    snap tolerance of a lake-ring vertex: after snapping, that vertex
+    must resolve to the SAME node id the ring uses."""
+    sti_ways = [w for w in out["ways"] if w["objtype"] == "Sti"]
+    assert sti_ways, "corpus should contain Sti near-dup cases"
+    ring_nodes = set()
+    for w in out["ways"]:
+        if w["geom_kind"] == "FLATE":
+            ring_nodes.update(w["node_ids"])
+    n_merged = sum(1 for w in sti_ways if w["node_ids"][0] in ring_nodes)
+    # jitter is within tol for vertex 0 -> it should snap to the ring
+    assert n_merged >= 0.8 * len(sti_ways)
+    # vertex 1 is jittered OUTSIDE tol -> must not merge
+    n_far_merged = sum(1 for w in sti_ways if w["node_ids"][1] in ring_nodes)
+    assert n_far_merged == 0
+
+
+def test_membership_self_containment(out, pipeline_out):
+    """Every FLATE interior point lies in its OWN outer ring (op 14)."""
+    self_pairs = {(m["doc_id"], m["flate_id"]) for m in out["membership"]
+                  if m["doc_id"] == m["ring_doc_id"]
+                  and m["flate_id"] == m["ring_flate_id"]}
+    closed_flates = {(r["doc_id"], r["flate_id"]) for r in out["rings"]
+                     if not r["is_hole"] and r["closed"]}
+    assert len(self_pairs & closed_flates) >= 0.9 * len(closed_flates)
+
+
+def test_tile_assignments_alignment(out):
+    rows = out["tile_assignments"]
+    assert len(rows) > 0
+    for r in rows[:500]:
+        z, x, y = map(int, r["media_ref"].split("/")[1:])
+        tile = cells.cell_from_tile(np.array([z]), np.array([x]), np.array([y]))[0]
+        assert cells.parent(np.array([r["cell_id"]]), z)[0] == tile
+
+
+def test_nodes_unique_and_refcounted(out):
+    node_ids = [n["node_id"] for n in out["nodes"]]
+    assert len(node_ids) == len(set(node_ids))
+    assert any(n["n_refs"] >= 2 for n in out["nodes"])
+
+
+def test_way_nodes_exist_in_node_table(out):
+    node_ids = {n["node_id"] for n in out["nodes"]}
+    for w in out["ways"]:
+        assert set(w["node_ids"]) <= node_ids
+
+
+def test_relations_have_outer_and_inner(out):
+    rels = out["relations"]
+    assert rels, "corpus contains holed lakes -> multipolygons must exist"
+    for r in rels:
+        roles = {m["role"] for m in r["members"]}
+        assert "outer" in roles and "inner" in roles
+        assert r["rel_type"] == "multipolygon"
+
+
+def test_integrity_report_finds_seeded_errors(out):
+    issues = {r["issue"] for r in out["integrity"]}
+    assert "unused_curve" in issues

@@ -1,0 +1,156 @@
+"""Curve-to-way topology assembly + ring closure (SURVEY.md §2 ops 21, 22).
+
+The headline operator of the engine (north star, BASELINE.json:6):
+per FLATE, gather referenced curves in ref order, reverse where the
+ref is negative, concatenate dropping duplicated junction
+coordinates, chain leftovers by endpoint matching, close rings, and
+normalize orientation (outer CCW / holes CW per the OSM multipolygon
+convention) [U: topo2osm.py::polygon/ring assembly + area check;
+mount empty, SURVEY.md §0].
+
+Spark shape: explode(refs) -> equi-join curves on (doc_id, span_idx,
+obj_id) -> groupBy(doc_id, span_idx, flate_id).applyInPandas. The
+grouped UDF sorts its input internally (never relies on shuffle
+order — determinism contract, SURVEY.md §4.2.5) and does all chain
+math in numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from topo2osm_spark.functions import geom
+from topo2osm_spark.schema import ASSEMBLED_RINGS
+
+# endpoint match tolerance in quantized degrees: reprojection is
+# value-deterministic so shared endpoints match bit-exact; the 1e-9
+# rounding only guards against float formatting noise.
+_Q = 1e9
+
+
+def _key(lat: float, lon: float) -> tuple[int, int]:
+    return (int(round(lat * _Q)), int(round(lon * _Q)))
+
+
+def _chain_curves(pieces: list[np.ndarray]) -> list[tuple[np.ndarray, bool]]:
+    """Chain ordered (lat, lon) piece arrays into rings.
+
+    Follows ref order first (the reference's primary path), falling
+    back to endpoint matching with flips (its repair path for
+    out-of-order refs). Returns [(ring_points, closed)].
+    """
+    rings: list[tuple[np.ndarray, bool]] = []
+    cur: np.ndarray | None = None
+    pending = list(pieces)
+    while pending:
+        nxt = pending.pop(0)
+        if cur is None:
+            cur = nxt
+        else:
+            tail = _key(cur[-1, 0], cur[-1, 1])
+            if _key(nxt[0, 0], nxt[0, 1]) == tail:
+                cur = np.vstack([cur, nxt[1:]])
+            elif _key(nxt[-1, 0], nxt[-1, 1]) == tail:
+                cur = np.vstack([cur, nxt[::-1][1:]])
+            elif _key(nxt[-1, 0], nxt[-1, 1]) == _key(cur[0, 0], cur[0, 1]):
+                cur = np.vstack([nxt, cur[1:]])
+            elif _key(nxt[0, 0], nxt[0, 1]) == _key(cur[0, 0], cur[0, 1]):
+                cur = np.vstack([nxt[::-1], cur[1:]])
+            else:
+                # discontinuity: close out current, start fresh
+                rings.append((cur, _is_closed(cur)))
+                cur = nxt
+        if cur is not None and len(cur) >= 4 and _is_closed(cur):
+            rings.append((cur, True))
+            cur = None
+    if cur is not None:
+        rings.append((cur, _is_closed(cur)))
+    return rings
+
+
+def _is_closed(pts: np.ndarray) -> bool:
+    return len(pts) >= 4 and _key(pts[0, 0], pts[0, 1]) == _key(pts[-1, 0], pts[-1, 1])
+
+
+def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    doc_id = pdf["doc_id"].iloc[0]
+    span_idx = int(pdf["span_idx"].iloc[0])
+    flate_id = int(pdf["flate_id"].iloc[0])
+    objtype = pdf["flate_objtype"].iloc[0]
+    out_rows = []
+    ring_idx = 0
+    # grouped UDF sorts internally — determinism does not depend on
+    # shuffle arrival order
+    pdf = pdf.sort_values("ref_pos")
+    for hg, grp in pdf.groupby("hole_group", sort=True):
+        is_hole = int(hg) > 0
+        pieces = []
+        for _, row in grp.iterrows():
+            lats = np.asarray(row["c_lats"], dtype=np.float64)
+            lons = np.asarray(row["c_lons"], dtype=np.float64)
+            pts = np.column_stack([lats, lons])
+            if row["ref"] < 0:  # minus = traverse reversed
+                pts = pts[::-1]
+            pieces.append(pts)
+        for pts, closed in _chain_curves(pieces):
+            area = geom.shoelace_area(pts[:, 0], pts[:, 1])
+            # orientation: outer CCW (area>0), holes CW (area<0)
+            if closed and ((not is_hole and area < 0) or (is_hole and area > 0)):
+                pts = pts[::-1]
+                area = -area
+            out_rows.append({
+                "doc_id": doc_id, "span_idx": span_idx, "flate_id": flate_id,
+                "objtype": objtype, "ring_idx": ring_idx, "is_hole": is_hole,
+                "lats": pts[:, 0].tolist(), "lons": pts[:, 1].tolist(),
+                "closed": bool(closed), "area": float(area),
+                "n_curves": int(len(grp)),
+            })
+            ring_idx += 1
+    if not out_rows:
+        return pd.DataFrame(columns=[f.name for f in ASSEMBLED_RINGS.fields])
+    return pd.DataFrame(out_rows)
+
+
+def assemble_rings(flates: DataFrame, curves: DataFrame) -> DataFrame:
+    """flates: PARSED_OBJECTS+lats/lons rows with obj_kind=FLATE;
+    curves: same with obj_kind=KURVE. Returns ASSEMBLED_RINGS.
+
+    Orphan refs (missing curves) drop out of the inner join — they are
+    surfaced separately by integrity_report (op 18)."""
+    refs = (flates
+            .select("doc_id", "span_idx",
+                    F.col("obj_id").alias("flate_id"),
+                    F.col("objtype").alias("flate_objtype"),
+                    F.posexplode(F.arrays_zip("refs", "hole_group"))
+                     .alias("ref_pos", "rh"))
+            .select("doc_id", "span_idx", "flate_id", "flate_objtype",
+                    "ref_pos",
+                    F.col("rh.refs").alias("ref"),
+                    F.col("rh.hole_group").alias("hole_group"),
+                    F.abs(F.col("rh.refs")).alias("curve_id")))
+    c = curves.select("doc_id", "span_idx",
+                      F.col("obj_id").alias("curve_id"),
+                      F.col("lats").alias("c_lats"),
+                      F.col("lons").alias("c_lons"))
+    joined = refs.join(c, ["doc_id", "span_idx", "curve_id"], "inner")
+    return (joined.groupBy("doc_id", "span_idx", "flate_id")
+                  .applyInPandas(_assemble_group, ASSEMBLED_RINGS))
+
+
+def integrity_report(flates: DataFrame, curves: DataFrame) -> DataFrame:
+    """op 18: orphan FLATE refs (left_anti) and unused curves
+    (left_anti the other way) — the reference's warning printouts,
+    re-expressed as a metrics DataFrame."""
+    refs = (flates.select("doc_id", "span_idx",
+                          F.explode("refs").alias("sref"))
+                  .withColumn("curve_id", F.abs("sref")))
+    c = curves.select("doc_id", "span_idx", F.col("obj_id").alias("curve_id"))
+    orphans = (refs.join(c, ["doc_id", "span_idx", "curve_id"], "left_anti")
+                   .select(F.lit("orphan_ref").alias("issue"),
+                           "doc_id", "span_idx", F.col("curve_id").alias("obj_id")))
+    unused = (c.join(refs, ["doc_id", "span_idx", "curve_id"], "left_anti")
+               .select(F.lit("unused_curve").alias("issue"),
+                       "doc_id", "span_idx", F.col("curve_id").alias("obj_id")))
+    return orphans.unionByName(unused)

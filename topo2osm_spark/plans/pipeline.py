@@ -1,0 +1,215 @@
+"""End-to-end SOSI->OSM conversion pipeline (SURVEY.md §3.2).
+
+Reimplements the reference converter's three passes
+[U: topo2osm.py::main; mount empty, SURVEY.md §0] as one lazy
+DataFrame DAG:
+
+  S1 posexplode(spans), kind routing          — narrow
+  S2 mapInArrow SOSI tokenize                 — narrow, Py boundary 1
+  S3 pandas_udf UTM->WGS84                    — narrow, Py boundary 2
+  S4 ring assembly join+groupBy               — shuffle, Py boundary 3
+  S5 way-node explode, quantize, node dedup   — shuffle (hash agg)
+  S6 kNN snap (cell join + label propagation) — shuffle
+  S7 way re-collect (sorted by pos)           — shuffle
+  S8 broadcast tag join                       — no shuffle
+  S9 PIP membership + raster<->vector tile join — cell equi-joins
+  S10 outputs: nodes/ways/relations/tile_assignments/echo/metrics
+
+Every output id is content-addressed (xxhash64 of stable identity),
+never an order-dependent counter — the distributed replacement for
+the reference's sequential negative ids (SURVEY.md §2 op 27).
+
+With a `Warehouse`, each stage materializes through the
+checkpoint/lineage layer and a re-run with the same fingerprints
+resumes without recompute (op 43).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from topo2osm_spark.operators import assembly, nodes as nodeops, pip, tags, tiles
+from topo2osm_spark.operators.reproject import reproject
+from topo2osm_spark.sources import sosi
+from topo2osm_spark.sources.warehouse import Warehouse, fingerprint
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """S1: documents -> one row per span, keyed (doc_id, span_idx).
+    span_idx is the ARRAY position (stable identity); span ORDER is
+    `offset` (span-sequence invariant, BASELINE.json:15)."""
+    return docs.select(
+        "doc_id",
+        F.posexplode("spans").alias("span_idx", "span"),
+    ).select("doc_id", "span_idx", "span.kind", "span.text",
+             "span.media_ref", "span.offset")
+
+
+def echo_spans(docs: DataFrame) -> DataFrame:
+    """The span-sequence invariant surface: spans sorted by offset.
+    array_sort on struct(offset, …) — offset leads, so ordering is by
+    offset; output must equal the input sequence exactly."""
+    return docs.select(
+        "doc_id",
+        F.array_sort(F.transform(
+            "spans",
+            lambda s: F.struct(s["offset"].alias("offset"),
+                               s["kind"].alias("kind"),
+                               s["text"].alias("text"),
+                               s["media_ref"].alias("media_ref")))).alias("spans_sorted"))
+
+
+def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
+                 warehouse: Warehouse | None = None, resume: bool = True,
+                 run_pip: bool = True, run_tiles: bool = True,
+                 persist: bool = True) -> dict:
+    """Full conversion; returns a dict of output DataFrames.
+
+    persist=True keeps the multiply-consumed intermediates (parsed
+    geometry, rings, way nodes, snap map) in executor memory — they
+    feed 2-4 downstream branches each; without a warehouse checkpoint
+    they would otherwise recompute per action.
+    """
+    ck_seq = []
+
+    def ck(df: DataFrame, name: str, *fp_parts) -> DataFrame:
+        if warehouse is not None:
+            fp = fingerprint(name, *fp_parts, *ck_seq)
+            df, _ = warehouse.stage(df, name, fp, resume=resume)
+            ck_seq.append(fp)
+        elif persist:
+            df = df.persist()
+        return df
+
+    spans = explode_spans(docs)
+
+    # S2+S3: tokenize sosi spans, reproject
+    parsed = sosi.tokenize_spans(spans.where(F.col("kind") == "sosi"))
+    geo = ck(reproject(parsed), "geo_objects", snap_tol_m)
+
+    curves = geo.where(F.col("obj_kind") == "KURVE")
+    flates = geo.where(F.col("obj_kind") == "FLATE")
+    punkts = geo.where(F.col("obj_kind") == "PUNKT")
+
+    # S4: ring assembly
+    rings = ck(assembly.assemble_rings(flates, curves), "rings")
+    rings = rings.withColumn(
+        "way_id", F.xxhash64("doc_id", "span_idx", F.lit("F"), "flate_id", "ring_idx"))
+
+    # standalone curve ways: curves whose objtype is tagged as a KURVE way
+    curve_tags = tags.tag_df(spark).where(
+        (F.col("geom_kind") == "KURVE") & F.col("emit"))
+    curve_ways = (curves.join(
+        F.broadcast(curve_tags.select("objtype")), "objtype", "left_semi")
+        .withColumn("way_id", F.xxhash64("doc_id", "span_idx", F.lit("K"), "obj_id")))
+
+    # unified way geometry (FLATE rings + tagged standalone curves)
+    ring_geoms = rings.select(
+        "way_id", "doc_id", "span_idx", "objtype",
+        F.lit("FLATE").alias("geom_kind"), "lats", "lons", "closed",
+        "is_hole", "ring_idx", "flate_id")
+    curve_geoms = curve_ways.select(
+        "way_id", "doc_id", "span_idx", "objtype",
+        F.lit("KURVE").alias("geom_kind"), "lats", "lons",
+        F.lit(False).alias("closed"), F.lit(False).alias("is_hole"),
+        F.lit(0).alias("ring_idx"), F.col("obj_id").alias("flate_id"))
+    way_geoms = ring_geoms.unionByName(curve_geoms)
+
+    # S5: explode to way-nodes, quantize (content-addressed node ids)
+    way_nodes = nodeops.quantize(
+        way_geoms.select(
+            "way_id",
+            F.posexplode(F.arrays_zip("lats", "lons")).alias("pos", "ll"))
+        .select("way_id", "pos",
+                F.col("ll.lats").alias("lat"), F.col("ll.lons").alias("lon")))
+    way_nodes = ck(way_nodes, "way_nodes")
+
+    punkt_points = punkts.select(
+        F.element_at("lats", 1).alias("lat"), F.element_at("lons", 1).alias("lon"))
+    all_points = way_nodes.select("lat", "lon").unionByName(punkt_points)
+    nodes_raw = nodeops.dedup_nodes(all_points)
+
+    # S6: kNN tolerance snap
+    snap_map = ck(nodeops.snap_mapping(nodes_raw, tol_m=snap_tol_m),
+                  "snap_map", snap_tol_m)
+    nodes_out = ck(nodeops.snap_nodes_table(nodes_raw, snap_map), "nodes")
+
+    # S7: re-collect way node lists in position order through the snap map
+    wn = nodeops.apply_snap(way_nodes.select("way_id", "pos", "node_id"),
+                            snap_map)
+    way_node_lists = (wn.groupBy("way_id")
+                        .agg(F.array_sort(F.collect_list(F.struct("pos", "node_id")))
+                              .alias("pn"))
+                        .select("way_id",
+                                F.transform("pn", lambda x: x["node_id"]).alias("node_ids")))
+
+    # S8: broadcast tag join on way metadata
+    way_meta = way_geoms.drop("lats", "lons")
+    tagged = tags.join_tags(way_meta, spark)
+    ways = (tagged.join(way_node_lists, "way_id")
+                  .withColumn("n_nodes", F.size("node_ids")))
+
+    # relations: multipolygon for every FLATE that has hole rings
+    flate_rings = rings.select("doc_id", "span_idx", "flate_id", "objtype",
+                               "way_id", "is_hole", "ring_idx")
+    holed = (flate_rings.groupBy("doc_id", "span_idx", "flate_id", "objtype")
+             .agg(F.max(F.col("is_hole").cast("int")).alias("has_holes"),
+                  F.array_sort(F.collect_list(F.struct(
+                      "ring_idx",
+                      F.when(F.col("is_hole"), F.lit("inner"))
+                       .otherwise(F.lit("outer")).alias("role"),
+                      "way_id"))).alias("members_raw"))
+             .where(F.col("has_holes") == 1))
+    relations = (tags.join_tags(
+        holed.withColumn("geom_kind", F.lit("FLATE")), spark)
+        .withColumn("rel_id", F.xxhash64("doc_id", "span_idx", F.lit("R"), "flate_id"))
+        .select("rel_id", "doc_id", "span_idx", "flate_id",
+                F.transform("members_raw",
+                            lambda m: F.struct(m["role"].alias("role"),
+                                               m["way_id"].alias("way_id"))).alias("members"),
+                "tags", F.lit("multipolygon").alias("rel_type")))
+
+    out = {
+        "spans": spans,
+        "objects": geo,
+        "rings": rings,
+        "nodes": nodes_out,
+        "ways": ways,
+        "relations": relations,
+        "echo": echo_spans(docs),
+        "integrity": assembly.integrity_report(flates, curves),
+    }
+
+    if run_pip:
+        # S9a: FLATE interior-point membership (op 14)
+        pts = (flates.where(F.size("lats") > 0)
+               .withColumn("pt_uid", F.xxhash64("doc_id", "span_idx", F.lit("P"), "obj_id"))
+               .select("pt_uid", F.col("doc_id").alias("pt_doc"),
+                       F.col("obj_id").alias("pt_flate"),
+                       F.element_at("lats", 1).alias("lat"),
+                       F.element_at("lons", 1).alias("lon")))
+        outer_rings = (rings.where(~F.col("is_hole") & F.col("closed"))
+                       .withColumn("ring_uid", F.col("way_id")))
+        membership = pip.pip_join(
+            pts.select("pt_uid", "lat", "lon"), outer_rings,
+            ["pt_uid"], ["ring_uid"])
+        out["membership"] = (membership
+            .join(pts.select("pt_uid", "pt_doc", "pt_flate"), "pt_uid")
+            .join(outer_rings.select("ring_uid", "doc_id", "span_idx",
+                                     "flate_id", F.col("objtype").alias("ring_objtype")),
+                  "ring_uid")
+            .select(F.col("pt_doc").alias("doc_id"), F.col("pt_flate").alias("flate_id"),
+                    F.col("doc_id").alias("ring_doc_id"), "span_idx",
+                    F.col("flate_id").alias("ring_flate_id"), "ring_objtype"))
+
+    if run_tiles:
+        # S9b: raster<->vector join — tiles containing >=1 way node
+        media = tiles.parse_media_refs(
+            spans.where(F.col("kind") == "media").select("doc_id", "media_ref"))
+        vector_cells = (way_nodes
+                        .withColumn("cell", tiles.cell_at_vector_res("lat", "lon"))
+                        .select("way_id", "cell")
+                        .dropDuplicates(["way_id", "cell"]))
+        out["tile_assignments"] = tiles.tile_vector_join(media, vector_cells)
+
+    return out

@@ -1,0 +1,44 @@
+"""SparkSession factory with the engine's pinned configs (SURVEY.md §4.2.6)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app: str = "topo2osm_spark", master: str | None = None,
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    cores = os.cpu_count() or 8
+    master = master or os.environ.get("SPARK_GRAFT_MASTER",
+                                      f"local[{os.environ.get('SPARK_GRAFT_CPUS', cores)}]")
+    sp = shuffle_partitions or int(os.environ.get(
+        "SPARK_GRAFT_SHUFFLE", str(2 * cores)))
+    b = (SparkSession.builder.master(master).appName(app)
+         .config("spark.sql.shuffle.partitions", str(sp))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+         .config("spark.ui.enabled", "false"))
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_session(spark: SparkSession) -> None:
+    """Runtime-settable knobs for a session we did not create (the
+    driver hands us one in __spark_entry__)."""
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass

@@ -247,6 +247,25 @@ def _gen_sosi_fragment(rng, ce, cn, err_rate=0.01) -> tuple[str, tuple]:
             next_id += 1
         all_n.append(chain_n); all_e.append(chain_e)
 
+    # --- near-duplicate boundary nodes (snap-tolerance cases) ---
+    # a path (Sti) curve whose first vertex is a lake-ring vertex
+    # jittered WITHIN the 0.5 m snap tolerance (must merge), and whose
+    # second is jittered OUTSIDE it (must stay distinct).
+    if rng.random() < 0.5:
+        vi = int(rng.integers(0, len(n)))
+        jin = 0.15  # m, < tol
+        jout = 5.0  # m, > tol
+        p1n = round((n[vi] + rng.uniform(-jin, jin)) / ENHET) * ENHET
+        p1e = round((e[vi] + rng.uniform(-jin, jin)) / ENHET) * ENHET
+        vj = int((vi + len(n) // 2) % len(n))
+        p2n = round((n[vj] + jout) / ENHET) * ENHET
+        p2e = round((e[vj] + jout) / ENHET) * ENHET
+        p3n = round((p2n + rng.uniform(50, 300)) / ENHET) * ENHET
+        p3e = round((p2e + rng.uniform(50, 300)) / ENHET) * ENHET
+        _emit_curve(buf, next_id, "Sti", np.array([p1n, p2n, p3n]),
+                    np.array([p1e, p2e, p3e]))
+        next_id += 1
+
     # --- contour line with heights (NØH) ---
     if rng.random() < 0.25:
         m = int(rng.integers(5, 12))
