@@ -1,38 +1,703 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship SOSI->OSM conversion on a deterministic
+                 interleaved-documents corpus derived from the
+                 sf0.001 driver tables (SURVEY.md §3.2).
+queries()      — one callable per implemented operator from
+                 SURVEY.md §2 plus the training-data operator suite
+                 (dedup / similarity / text analysis / multimodal).
+oracle_sql()   — DuckDB-equivalent ANSI SQL for every SQL-expressible
+                 query; geometry/hash-specific ops are rows-only.
+
+Column aliases match between Spark and SQL exactly; float outputs are
+rounded identically on both sides (order-insensitive value-hash
+contract). Session timezone is pinned to UTC at call time.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+
+def _dr(col, k=4):
+    """Deterministic decimal rounding (floor(x*10^k+0.5)/10^k) — exact
+    SQL mirror `floor(x * 10^k + 0.5) / 10^k`; see functions/text.dround."""
+    from topo2osm_spark.functions.text import dround
+    return dround(col, k)
+
+
+# ---------------------------------------------------------------- helpers
+
+def _tune(spark: SparkSession) -> None:
+    from topo2osm_spark.plans.session import tune_for_session
+    tune_for_session(spark)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_GEO_CACHE: dict = {}
+
+
+def _geo_outputs(spark: SparkSession, sf_dir: str) -> dict:
+    """Geometry corpus + pipeline outputs, memoized per (session, sf).
+    The corpus is synthesized deterministically (seed 42) at a fixed
+    small size — geometry queries are correctness surfaces; scale is
+    exercised by bench.py / jobs/convert.py."""
+    key = (id(spark), sf_dir)
+    if key not in _GEO_CACHE:
+        from topo2osm_spark.plans.pipeline import run_pipeline
+        from topo2osm_spark.sources.fixtures import documents_df
+        _tune(spark)
+        docs = documents_df(spark, 40, n_municipalities=8, seed=42,
+                            max_sosi=2).persist()
+        out = run_pipeline(spark, docs)
+        out["documents"] = docs
+        _GEO_CACHE[key] = out
+    return _GEO_CACHE[key]
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: convert the interleaved corpus and return the
+    tagged assembled ways (doc_id, way_id, objtype, tags, n_nodes,
+    closed). Uses /root/testdata/sf0.001 document ids/texts as the
+    text spans of the synthesized corpus (the driver's flat documents
+    table has no spans column — corpus shape per BASELINE.json:15)."""
+    from topo2osm_spark.plans.pipeline import run_pipeline
+    from topo2osm_spark.schema import DOCUMENTS
+    from topo2osm_spark.sources.fixtures import generate_documents
+    _tune(spark)
+    driver_texts = [
+        r["text"] for r in
+        _t(spark, "/root/testdata/sf0.001", "documents")
+        .orderBy("doc_id").limit(40).collect()]
+    tbl = generate_documents(len(driver_texts), n_municipalities=8, seed=42,
+                             driver_texts=driver_texts, max_sosi=2)
+    docs = spark.createDataFrame(tbl.to_pylist(), DOCUMENTS)
+    out = run_pipeline(spark, docs, run_pip=False, run_tiles=False)
+    return (out["ways"]
+            .where(F.col("emit"))
+            .select("doc_id", "way_id", "objtype", "tags", "n_nodes", "closed"))
 
+
+# ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- scans / filters / projections (ops 6, 10) ----
+    def scan_filter_project(spark, sf):
+        _tune(spark)
+        li = _t(spark, sf, "lineitem")
+        return (li.where(F.col("l_quantity") > 45)
+                  .select("l_orderkey", "l_linenumber", "l_quantity")
+                  .orderBy("l_orderkey", "l_linenumber"))
+    q["scan_filter_project"] = scan_filter_project
 
+    def string_funcs(spark, sf):  # op 35
+        _tune(spark)
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            F.upper(F.substring("text", 1, 10)).alias("head10"),
+            F.length("text").alias("n"),
+            F.regexp_extract("source", r"src(\d+)", 1).cast("int").alias("src_num"),
+        ).orderBy("doc_id")
+    q["string_funcs"] = string_funcs
+
+    def math_funcs(spark, sf):  # op 36
+        _tune(spark)
+        li = _t(spark, sf, "lineitem")
+        return (li.where(F.col("l_orderkey") % 100 == 0)
+                .select("l_orderkey", "l_linenumber",
+                        F.round(F.sqrt("l_extendedprice"), 4).alias("sq"),
+                        F.round(F.atan2("l_quantity", F.lit(10.0)), 6).alias("ang"),
+                        F.pmod(F.col("l_partkey"), F.lit(7)).alias("m7"))
+                .orderBy("l_orderkey", "l_linenumber"))
+    q["math_funcs"] = math_funcs
+
+    def array_funcs(spark, sf):  # op 37
+        _tune(spark)
+        e = _t(spark, sf, "embeddings")
+        v = F.transform("embedding", lambda x: x.cast("double"))
+        return e.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 4).alias("vsum"),
+            F.round(F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x), 4).alias("head_sum"),
+        ).orderBy("vec_id")
+    q["array_funcs"] = array_funcs
+
+    def json_funcs(spark, sf):  # op 39
+        _tune(spark)
+        ev = _t(spark, sf, "events")
+        return (ev.select("event_id",
+                          F.get_json_object("props", "$.k").cast("int").alias("k"))
+                  .where(F.col("k") > 90).orderBy("event_id"))
+    q["json_funcs"] = json_funcs
+
+    # ---- aggregations (ops 24, 25, 26) ----
+    def agg_tpch_q1(spark, sf):
+        _tune(spark)
+        li = _t(spark, sf, "lineitem")
+        return (li.where(F.col("l_shipdate") <= "1998-09-02")
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(_dr(F.sum("l_quantity"), 2).alias("sum_qty"),
+                     _dr(F.sum("l_extendedprice"), 2).alias("sum_base"),
+                     _dr(F.avg("l_discount"), 4).alias("avg_disc"),
+                     F.count(F.lit(1)).alias("count_order"))
+                .orderBy("l_returnflag", "l_linestatus"))
+    q["agg_tpch_q1"] = agg_tpch_q1
+
+    def count_by_type(spark, sf):  # op 24
+        _tune(spark)
+        ev = _t(spark, sf, "events")
+        return (ev.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.countDistinct("user_id").alias("n_users"),
+                     _dr(F.sum("value"), 2).alias("sum_value"))
+                .orderBy("event_type"))
+    q["count_by_type"] = count_by_type
+
+    def rollup_counts(spark, sf):  # op 25
+        _tune(spark)
+        o = _t(spark, sf, "orders")
+        return (o.rollup("o_orderstatus", "o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("o_orderstatus").asc_nulls_first(),
+                         F.col("o_orderpriority").asc_nulls_first()))
+    q["rollup_counts"] = rollup_counts
+
+    def collect_sorted_list(spark, sf):  # op 23
+        _tune(spark)
+        li = _t(spark, sf, "lineitem")
+        return (li.where(F.col("l_orderkey") < 200)
+                .groupBy("l_orderkey")
+                .agg(F.sort_array(F.collect_list("l_linenumber")).alias("lines"))
+                .orderBy("l_orderkey"))
+    q["collect_sorted_list"] = collect_sorted_list
+
+    # ---- joins (ops 12, 15, 18) ----
+    def broadcast_join_dims(spark, sf):  # op 15 analog
+        _tune(spark)
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+                 .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+                 .groupBy("r_name", "n_name")
+                 .agg(F.count(F.lit(1)).alias("n_cust"),
+                      _dr(F.sum("c_acctbal"), 2).alias("sum_bal"))
+                 .orderBy("r_name", "n_name"))
+    q["broadcast_join_dims"] = broadcast_join_dims
+
+    def equi_join_agg(spark, sf):  # op 12 analog
+        _tune(spark)
+        li = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders")
+        return (li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(_dr(F.sum("l_quantity"), 2).alias("sum_qty"),
+                     F.count(F.lit(1)).alias("n"))
+                .orderBy("o_orderpriority"))
+    q["equi_join_agg"] = equi_join_agg
+
+    def semi_join(spark, sf):  # op 18
+        _tune(spark)
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        big = li.where(F.col("l_quantity") >= 49).select("l_orderkey")
+        return (o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+                 .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey"))
+    q["semi_join"] = semi_join
+
+    def anti_join(spark, sf):  # op 18
+        _tune(spark)
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+                 .select("c_custkey", "c_name").orderBy("c_custkey"))
+    q["anti_join"] = anti_join
+
+    # ---- windows (ops 27, 28, 29) ----
+    def window_rownum(spark, sf):  # op 27: deterministic stable ids
+        _tune(spark)
+        from pyspark.sql import Window as W
+        ev = _t(spark, sf, "events").where(F.col("user_id") < 50)
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        return (ev.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") <= 3)
+                  .select("user_id", "event_id", "rn")
+                  .orderBy("user_id", "rn"))
+    q["window_rownum"] = window_rownum
+
+    def window_running_sum(spark, sf):  # op 29
+        _tune(spark)
+        from pyspark.sql import Window as W
+        ev = _t(spark, sf, "events").where(F.col("user_id") < 20)
+        w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+              .rowsBetween(W.unboundedPreceding, 0))
+        return (ev.withColumn("running", _dr(F.sum("value").over(w), 2))
+                  .select("user_id", "event_id", "running")
+                  .orderBy("user_id", "event_id"))
+    q["window_running_sum"] = window_running_sum
+
+    def window_lag_gap(spark, sf):  # op 28: segment chaining validation
+        _tune(spark)
+        from pyspark.sql import Window as W
+        ev = _t(spark, sf, "events").where(F.col("user_id") < 20)
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        return (ev.withColumn("prev_id", F.lag("event_id").over(w))
+                  .where(F.col("prev_id").isNotNull())
+                  .select("user_id", "event_id", "prev_id")
+                  .orderBy("user_id", "event_id"))
+    q["window_lag_gap"] = window_lag_gap
+
+    # ---- sorts / limits / top-k (ops 30, 32) ----
+    def topk_orders(spark, sf):
+        _tune(spark)
+        o = _t(spark, sf, "orders")
+        return (o.select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+                 .orderBy(F.desc("price"), "o_orderkey").limit(10))
+    q["topk_orders"] = topk_orders
+
+    # ---- set ops (ops 33, 34) ----
+    def union_distinct(spark, sf):
+        _tune(spark)
+        li = _t(spark, sf, "lineitem")
+        a = li.where(F.col("l_quantity") >= 49).select("l_orderkey")
+        b = li.where(F.col("l_discount") >= 0.09).select("l_orderkey")
+        return a.union(b).distinct().orderBy("l_orderkey")
+    q["union_distinct"] = union_distinct
+
+    def except_orders(spark, sf):
+        _tune(spark)
+        o = _t(spark, sf, "orders")
+        a = o.where(F.col("o_totalprice") > 100000).select("o_orderkey")
+        b = o.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+        return a.exceptAll(b).distinct().orderBy("o_orderkey")
+    q["except_orders"] = except_orders
+
+    def intersect_orders(spark, sf):
+        _tune(spark)
+        o = _t(spark, sf, "orders")
+        a = o.where(F.col("o_totalprice") > 100000).select("o_orderkey")
+        b = o.where(F.col("o_orderstatus") == "O").select("o_orderkey")
+        return a.intersect(b).orderBy("o_orderkey")
+    q["intersect_orders"] = intersect_orders
+
+    # ---- date/time (op 40) ----
+    def date_trunc_agg(spark, sf):
+        _tune(spark)
+        ev = _t(spark, sf, "events")
+        return (ev.groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                         "yyyy-MM-dd HH").alias("hour"))
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       _dr(F.avg("value"), 4).alias("avg_value"))
+                  .orderBy("hour"))
+    q["date_trunc_agg"] = date_trunc_agg
+
+    # ---- skew ops (op 41): salted two-phase agg == plain agg ----
+    def salted_agg(spark, sf):
+        _tune(spark)
+        from topo2osm_spark.operators.skew import add_salt
+        li = _t(spark, sf, "lineitem")
+        salted = add_salt(li, ["l_orderkey", "l_linenumber"], buckets=16)
+        partial = (salted.groupBy("l_returnflag", "salt")
+                   .agg(F.sum("l_quantity").alias("pq"),
+                        F.count(F.lit(1)).alias("pn")))
+        return (partial.groupBy("l_returnflag")
+                .agg(_dr(F.sum("pq"), 2).alias("sum_qty"),
+                     F.sum("pn").alias("n"))
+                .orderBy("l_returnflag"))
+    q["salted_agg"] = salted_agg
+
+    # ---- text analysis suite ----
+    def token_stats(spark, sf):
+        _tune(spark)
+        from topo2osm_spark.functions import text as tx
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            tx.token_count_ws(F.col("text")).alias("n_ws"),
+            tx.token_count_bpeish(F.col("text")).alias("n_bpe"),
+        ).orderBy("doc_id")
+    q["token_stats"] = token_stats
+
+    def quality_scores(spark, sf):
+        _tune(spark)
+        from topo2osm_spark.functions import text as tx
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            tx.punct_ratio(F.col("text")).alias("punct_ratio"),
+            tx.short_token_ratio(F.col("text")).alias("short_ratio"),
+            tx.quality_score(F.col("text")).alias("quality"),
+        ).orderBy("doc_id")
+    q["quality_scores"] = quality_scores
+
+    def lang_id(spark, sf):
+        _tune(spark)
+        from topo2osm_spark.functions import text as tx
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            tx.vowel_ratio(F.col("text")).alias("vowel_ratio"),
+            tx.lang_guess(F.col("text")).alias("lang_guess"),
+        ).orderBy("doc_id")
+    q["lang_id"] = lang_id
+
+    def doc_fingerprint(spark, sf):
+        _tune(spark)
+        from topo2osm_spark.functions import text as tx
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id",
+                        tx.fingerprint_md5(F.col("text")).alias("fp")).orderBy("doc_id")
+    q["doc_fingerprint"] = doc_fingerprint
+
+    # ---- dedup suite ----
+    def dedup_exact(spark, sf):
+        _tune(spark)
+        from topo2osm_spark.operators.dedup import exact_dup_groups
+        d = _t(spark, sf, "documents")
+        return exact_dup_groups(d).orderBy("fp")
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_token_jaccard(spark, sf):
+        _tune(spark)
+        from topo2osm_spark.operators.dedup import token_jaccard_pairs
+        d = _t(spark, sf, "documents")
+        return (token_jaccard_pairs(d, cohort_col="source", threshold=0.8)
+                .orderBy("a", "b"))
+    q["dedup_token_jaccard"] = dedup_token_jaccard
+
+    def dedup_embedding_cosine(spark, sf):
+        _tune(spark)
+        from topo2osm_spark.operators.dedup import embedding_cosine_pairs
+        e = _t(spark, sf, "embeddings")
+        return (embedding_cosine_pairs(e, threshold=0.35)
+                .select("a", "b").orderBy("a", "b"))
+    q["dedup_embedding_cosine"] = dedup_embedding_cosine
+
+    def dedup_minhash_lsh(spark, sf):  # rows-only (hash-seed specific)
+        _tune(spark)
+        from topo2osm_spark.operators.dedup import minhash_lsh_dedup
+        d = _t(spark, sf, "documents")
+        return minhash_lsh_dedup(d, threshold=0.5).orderBy("a", "b")
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_simhash(spark, sf):  # rows-only
+        _tune(spark)
+        from topo2osm_spark.operators.dedup import simhash_pairs
+        d = _t(spark, sf, "documents")
+        return simhash_pairs(d, max_hamming=12).orderBy("a", "b")
+    q["dedup_simhash"] = dedup_simhash
+
+    # ---- similarity search ----
+    _QUERY_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+    def ann_topk_bruteforce(spark, sf):
+        _tune(spark)
+        from topo2osm_spark.operators.similarity import brute_force_topk
+        e = _t(spark, sf, "embeddings")
+        return brute_force_topk(e, _QUERY_VEC, k=10)
+    q["ann_topk_bruteforce"] = ann_topk_bruteforce
+
+    def ann_topk_lsh(spark, sf):  # rows-only (approximate recall)
+        _tune(spark)
+        from topo2osm_spark.operators.similarity import lsh_topk
+        e = _t(spark, sf, "embeddings")
+        return lsh_topk(e, _QUERY_VEC, k=10)
+    q["ann_topk_lsh"] = ann_topk_lsh
+
+    # ---- multimodal plumbing (rows-only; stub decode) ----
+    def media_decode(spark, sf):
+        _tune(spark)
+        from topo2osm_spark.operators.media import decode_media
+        geo = _geo_outputs(spark, sf)
+        media = (geo["spans"].where(F.col("kind") == "media")
+                 .select("doc_id", "media_ref"))
+        d = decode_media(media)
+        return d.select("doc_id", "media_ref", F.col("meta.width").alias("width"),
+                        F.size("features").alias("n_features"))
+    q["media_decode"] = media_decode
+
+    # ---- geometry suite (rows-only: non-SQL-expressible) ----
+    def sosi_parse_objects(spark, sf):
+        out = _geo_outputs(spark, sf)
+        return out["objects"].select("doc_id", "span_idx", "obj_kind",
+                                     "obj_id", "objtype")
+    q["sosi_parse_objects"] = sosi_parse_objects
+
+    def node_dedup(spark, sf):
+        out = _geo_outputs(spark, sf)
+        return out["nodes"]
+    q["node_dedup"] = node_dedup
+
+    def ring_assembly(spark, sf):
+        out = _geo_outputs(spark, sf)
+        return out["rings"].select("doc_id", "span_idx", "flate_id",
+                                   "ring_idx", "is_hole", "closed",
+                                   F.round("area", 10).alias("area"))
+    q["ring_assembly"] = ring_assembly
+
+    def tagged_ways(spark, sf):
+        out = _geo_outputs(spark, sf)
+        return out["ways"].select("doc_id", "way_id", "objtype",
+                                  "tags", "n_nodes", "closed")
+    q["tagged_ways"] = tagged_ways
+
+    def multipolygon_relations(spark, sf):
+        out = _geo_outputs(spark, sf)
+        return out["relations"]
+    q["multipolygon_relations"] = multipolygon_relations
+
+    def pip_membership(spark, sf):
+        out = _geo_outputs(spark, sf)
+        return out["membership"]
+    q["pip_membership"] = pip_membership
+
+    def tile_join(spark, sf):
+        out = _geo_outputs(spark, sf)
+        return out["tile_assignments"]
+    q["tile_join"] = tile_join
+
+    def span_echo(spark, sf):
+        out = _geo_outputs(spark, sf)
+        return out["echo"]
+    q["span_echo"] = span_echo
+
+    def integrity_issues(spark, sf):
+        out = _geo_outputs(spark, sf)
+        return out["integrity"]
+    q["integrity_issues"] = integrity_issues
+
+    return q
+
+
+# ---------------------------------------------------------------- oracles
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["scan_filter_project"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_quantity > 45
+        ORDER BY l_orderkey, l_linenumber"""
+
+    sql["string_funcs"] = r"""
+        SELECT doc_id,
+               upper(substring(text, 1, 10)) AS head10,
+               length(text) AS n,
+               CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS src_num
+        FROM documents ORDER BY doc_id"""
+
+    sql["math_funcs"] = """
+        SELECT l_orderkey, l_linenumber,
+               round(sqrt(l_extendedprice), 4) AS sq,
+               round(atan2(l_quantity, 10.0), 6) AS ang,
+               l_partkey % 7 AS m7
+        FROM lineitem WHERE l_orderkey % 100 = 0
+        ORDER BY l_orderkey, l_linenumber"""
+
+    sql["array_funcs"] = """
+        SELECT vec_id,
+               len(embedding) AS dim,
+               round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vsum,
+               round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 4) AS head_sum
+        FROM embeddings ORDER BY vec_id"""
+
+    sql["json_funcs"] = """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 90
+        ORDER BY event_id"""
+
+    sql["agg_tpch_q1"] = """
+        SELECT l_returnflag, l_linestatus,
+               floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+               floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base,
+               floor(avg(l_discount) * 10000 + 0.5) / 10000 AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""
+
+    sql["count_by_type"] = """
+        SELECT event_type, count(*) AS n,
+               count(DISTINCT user_id) AS n_users,
+               floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type"""
+
+    sql["rollup_counts"] = """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+
+    sql["collect_sorted_list"] = """
+        SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines
+        FROM lineitem WHERE l_orderkey < 200
+        GROUP BY l_orderkey ORDER BY l_orderkey"""
+
+    sql["broadcast_join_dims"] = """
+        SELECT r_name, n_name, count(*) AS n_cust,
+               floor(sum(c_acctbal) * 100 + 0.5) / 100 AS sum_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name"""
+
+    sql["equi_join_agg"] = """
+        SELECT o_orderpriority, floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+               count(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+    sql["semi_join"] = """
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+        ORDER BY o_orderkey"""
+
+    sql["anti_join"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey"""
+
+    sql["window_rownum"] = """
+        SELECT user_id, event_id, rn FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events WHERE user_id < 50)
+        WHERE rn <= 3 ORDER BY user_id, rn"""
+
+    sql["window_running_sum"] = """
+        SELECT user_id, event_id,
+               floor(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS running
+        FROM events WHERE user_id < 20 ORDER BY user_id, event_id"""
+
+    sql["window_lag_gap"] = """
+        SELECT user_id, event_id, prev_id FROM (
+            SELECT user_id, event_id,
+                   lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id
+            FROM events WHERE user_id < 20)
+        WHERE prev_id IS NOT NULL ORDER BY user_id, event_id"""
+
+    sql["topk_orders"] = """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders ORDER BY price DESC, o_orderkey LIMIT 10"""
+
+    sql["union_distinct"] = """
+        SELECT DISTINCT l_orderkey FROM (
+            SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49
+            UNION ALL
+            SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.09)
+        ORDER BY l_orderkey"""
+
+    sql["except_orders"] = """
+        SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 100000
+        EXCEPT
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY o_orderkey"""
+
+    sql["intersect_orders"] = """
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+        INTERSECT
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY o_orderkey"""
+
+    sql["date_trunc_agg"] = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+               count(*) AS n, floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
+        FROM events GROUP BY 1 ORDER BY hour"""
+
+    sql["salted_agg"] = """
+        SELECT l_returnflag, floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+    sql["token_stats"] = r"""
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_ws,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe
+        FROM documents ORDER BY doc_id"""
+
+    sql["quality_scores"] = r"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 floor(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+                       * 1.0 / greatest(length(text), 1) * 10000 + 0.5) / 10000 AS punct_ratio,
+                 floor(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       t -> length(t) <= 3))
+                       * 1.0 / greatest(len(string_split_regex(trim(text), '\s+')), 1)
+                       * 10000 + 0.5) / 10000 AS short_ratio
+          FROM documents)
+        SELECT doc_id, punct_ratio, short_ratio,
+               floor((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.5 END)
+                     * (1.0 - punct_ratio) * (1.0 - 0.5 * short_ratio) * 10000 + 0.5) / 10000 AS quality
+        FROM t ORDER BY doc_id"""
+
+    sql["lang_id"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 floor(length(regexp_replace(lower(text), '[^aeiouy]', '', 'g')) * 1.0
+                       / greatest(length(regexp_replace(lower(text), '[^a-z]', '', 'g')), 1)
+                       * 10000 + 0.5) / 10000 AS vowel_ratio
+          FROM documents)
+        SELECT doc_id, vowel_ratio,
+               CASE WHEN vowel_ratio >= 0.45 THEN 'vowel-heavy'
+                    WHEN vowel_ratio >= 0.30 THEN 'latin-balanced'
+                    ELSE 'consonant-heavy' END AS lang_guess
+        FROM t ORDER BY doc_id"""
+
+    sql["doc_fingerprint"] = r"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents ORDER BY doc_id"""
+
+    sql["dedup_exact"] = r"""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               count(*) AS n_dups, min(doc_id) AS keep_id
+        FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp"""
+
+    sql["dedup_token_jaccard"] = r"""
+        WITH tok AS (
+          SELECT doc_id, source, unnest(list_distinct(
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS w
+          FROM documents),
+        sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        inter AS (
+          SELECT ta.doc_id AS a, tb.doc_id AS b, count(*) AS i
+          FROM tok ta JOIN tok tb ON ta.w = tb.w AND ta.source = tb.source
+                      AND ta.doc_id < tb.doc_id
+          GROUP BY 1, 2)
+        SELECT a, b, floor(i * 1.0 / (sa.n + sb.n - i) * 10000 + 0.5) / 10000 AS jaccard
+        FROM inter
+        JOIN sizes sa ON inter.a = sa.doc_id
+        JOIN sizes sb ON inter.b = sb.doc_id
+        WHERE floor(i * 1.0 / (sa.n + sb.n - i) * 10000 + 0.5) / 10000 >= 0.8
+        ORDER BY a, b"""
+
+    sql["dedup_embedding_cosine"] = """
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE floor(list_cosine_similarity(
+                list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                list_transform(b.embedding, x -> CAST(x AS DOUBLE))) * 10000 + 0.5) / 10000 >= 0.35
+        ORDER BY a, b"""
+
+    sql["ann_topk_bruteforce"] = """
+        WITH q AS (SELECT [{qv}]::DOUBLE[] AS qvec)
+        SELECT vec_id,
+               floor(list_cosine_similarity(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)), qvec) * 10000 + 0.5) / 10000 AS cosine
+        FROM embeddings, q
+        ORDER BY cosine DESC, vec_id LIMIT 10""".replace(
+        "{qv}", ", ".join(str(((i * 37) % 19 - 9) / 10.0) for i in range(64)))
+
+    return sql

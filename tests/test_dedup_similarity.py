@@ -1,0 +1,131 @@
+"""Dedup + similarity + text-analysis operator tests (sf0.001 tables)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    from topo2osm_spark.operators.dedup import exact_dup_groups
+    rows = [(1, "Hello   World"), (2, "hello world"), (3, "unique text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_dup_groups(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_dups"] == 2 and out[0]["keep_id"] == 1
+
+
+def test_minhash_detects_near_dups(spark):
+    from topo2osm_spark.operators.dedup import minhash_lsh_dedup
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("theta", "thetaX", 1)
+    far = "one two three four five six seven eight nine ten " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string")
+    pairs = {(r["a"], r["b"]): r["est_jaccard"]
+             for r in minhash_lsh_dedup(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_hamming(spark):
+    from topo2osm_spark.operators.dedup import simhash_pairs
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("kappa", "kappaX", 1)
+    far = "one two three four five six seven eight nine ten " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string")
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_pairs(df, max_hamming=16).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 16
+    assert (1, 3) not in pairs
+
+
+def test_token_jaccard_exact(spark):
+    from topo2osm_spark.operators.dedup import token_jaccard_pairs
+    df = spark.createDataFrame(
+        [(1, "a", "x y z w"), (2, "a", "x y z q"), (3, "b", "x y z w")],
+        "doc_id long, source string, text string")
+    out = {(r["a"], r["b"]): r["jaccard"]
+           for r in token_jaccard_pairs(df, "source", threshold=0.1).collect()}
+    # same cohort only; jaccard(|{xyz}|=3 / |{xyzwq}|=5) = 0.6
+    assert out == {(1, 2): 0.6}
+
+
+def test_brute_force_topk_matches_numpy(spark, embs):
+    import numpy as np
+    from topo2osm_spark.operators.similarity import brute_force_topk
+    q = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    got = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(embs, q, k=5).collect()]
+    pdf = embs.toPandas()
+    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    qv = np.asarray(q)
+    cos = (m @ qv) / (np.linalg.norm(m, axis=1) * np.linalg.norm(qv))
+    order = sorted(zip(pdf["vec_id"], cos), key=lambda t: (-t[1], t[0]))[:5]
+    assert [g[0] for g in got] == [int(o[0]) for o in order]
+    for g, o in zip(got, order):
+        assert g[1] == pytest.approx(o[1], abs=1e-3)
+
+
+def test_lsh_topk_subset_of_bruteforce_space(spark, embs):
+    from topo2osm_spark.operators.similarity import lsh_topk
+    q = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    rows = lsh_topk(embs, q, k=10).collect()
+    assert 0 < len(rows) <= 10  # approximate: bounded, non-empty
+    sims = [r["cosine"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_text_functions(spark):
+    from topo2osm_spark.functions import text as tx
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox, it jumps! Over 2 dogs.")],
+        "id long, text string")
+    r = df.select(
+        tx.token_count_ws(F.col("text")).alias("ws"),
+        tx.token_count_bpeish(F.col("text")).alias("bpe"),
+        tx.punct_ratio(F.col("text")).alias("punct"),
+        tx.fingerprint_md5(F.col("text")).alias("fp"),
+        tx.lang_guess(F.col("text")).alias("lang"),
+    ).first()
+    assert r["ws"] == 9
+    assert r["bpe"] == 12  # 8 word pieces + '2' + ',' + '!' + '.'
+    assert 0 < r["punct"] < 0.2
+    assert len(r["fp"]) == 32
+    assert r["lang"] in ("vowel-heavy", "latin-balanced", "consonant-heavy")
+
+
+def test_media_decode_stub(spark):
+    from topo2osm_spark.operators.media import decode_media, frame_sample
+    media = spark.createDataFrame(
+        [("d1", "tile/12/2100/1100"), ("d2", "tile/12/2100/1101")],
+        "doc_id string, media_ref string")
+    out = decode_media(media).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["meta"]["channels"] == 3
+        assert len(r["payload"]) == 256
+        assert len(r["features"]) == 16
+    # deterministic across runs
+    again = decode_media(media).collect()
+    assert sorted((r["media_ref"], bytes(r["payload"])) for r in out) == \
+           sorted((r["media_ref"], bytes(r["payload"])) for r in again)
+    frames = frame_sample(decode_media(media), every_n=4)
+    assert frames.count() == 2 * 64
+
+
+def test_decode_real_is_stubbed():
+    import pytest as pt
+    from topo2osm_spark.operators.media import decode_real
+    with pt.raises(NotImplementedError):
+        decode_real(b"\x00")

@@ -1,0 +1,204 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families over a (doc_id, text) / (vec_id, embedding)
+corpus, each scale-shaped for 100 TB inputs:
+
+- exact:      hash-groupBy on normalized md5 — one shuffle, partial agg
+- minhash:    word-shingle -> H seeded xxhash64 min-aggregates ->
+              banded LSH -> candidate pairs within buckets only
+              (never all-pairs); JVM-side hashes, no Python
+- simhash:    64-bit weighted-majority fingerprint via one pandas_udf
+              (Arrow batch), hamming-close pairs within 16-bit band
+              buckets
+- token jaccard: exact set-overlap verify, cohort-bounded
+- embedding cosine: near-dup pairs by cosine within cohort buckets
+
+The LSH patterns follow the public MinHash/LSH literature (Broder;
+Leskovec et al., Mining of Massive Datasets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from topo2osm_spark.functions.text import dround, fingerprint_md5, normalized
+
+N_HASHES = 32
+BAND_ROWS = 4  # 8 bands x 4 rows
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: groups of identical (normalized) texts.
+    Returns (fp, n_dups, keep_id) for groups with >1 member —
+    keep_id = min id (deterministic survivor)."""
+    return (docs
+            .withColumn("fp", fingerprint_md5(F.col(text_col)))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_dups"),
+                 F.min(id_col).alias("keep_id"))
+            .where(F.col("n_dups") > 1))
+
+
+def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc (JVM-side: split + HOF)."""
+    toks = F.split(normalized(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (docs.withColumn("shingle", F.explode(F.array_distinct(grams)))
+                .where(F.length("shingle") > 0))
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       n_hashes: int = N_HASHES) -> DataFrame:
+    """(id, sig array<long>): sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). All hashing JVM-side; one shuffle."""
+    sh = shingles(docs, text_col)
+    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        band_rows: int = BAND_ROWS) -> DataFrame:
+    """Banded LSH: docs agreeing on ALL rows of any band become a
+    candidate pair. Pairs are generated per bucket (self-join on
+    (band, band_hash)) — the classic sub-quadratic shape."""
+    # band hash = xxhash64 over the band's slice of the signature
+    bands = (sigs.withColumn(
+        "band", F.explode(F.sequence(
+            F.lit(0), F.floor(F.size("sig") / band_rows).cast("int") - 1)))
+        .withColumn("band_hash", F.xxhash64(
+            F.slice("sig", F.col("band") * band_rows + 1, band_rows).cast("string"),
+            "band")))
+    left = bands.select(F.col(id_col).alias("a"), "band", "band_hash")
+    right = bands.select(F.col(id_col).alias("b"), "band", "band_hash")
+    return (left.join(right, ["band", "band_hash"])
+                .where(F.col("a") < F.col("b"))
+                .select("a", "b").distinct())
+
+
+def minhash_similarity(sigs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    j = (pairs.join(sa, "a").join(sb, "b")
+         .withColumn("est_jaccard", F.round(
+             F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                             lambda m: m)) / F.size("sig_a"), 4)))
+    return j.select("a", "b", "est_jaccard")
+
+
+def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.7) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline -> (a, b, est_jaccard)."""
+    sigs = minhash_signatures(docs, text_col, id_col)
+    pairs = lsh_candidate_pairs(sigs, id_col)
+    return (minhash_similarity(sigs, pairs, id_col)
+            .where(F.col("est_jaccard") >= threshold))
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (vectorized per batch).
+    Deterministic: token hash = xxhash-free numpy FNV-1a."""
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, t in enumerate(text):
+        if not t:
+            continue
+        toks = t.lower().split()
+        if not toks:
+            continue
+        # FNV-1a per token, vectorized over characters is overkill;
+        # tokens are few per doc — loop tokens, numpy the bit math
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for j, tok in enumerate(toks):
+            h = np.uint64(0xCBF29CE484222325)
+            for ch in tok.encode():
+                h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+            hs[j] = h
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        vote = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        fp = np.uint64(0)
+        for b in np.nonzero(vote > 0)[0]:
+            fp |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(fp)
+    return pd.Series(out)
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 8,
+                  n_bands: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance. Candidate buckets:
+    the fingerprint's n_bands equal bit-bands — by pigeonhole, a pair
+    within hamming <= n_bands-1 agrees exactly on >= 1 band, so recall
+    is total for max_hamming < n_bands and approximate beyond. Never
+    an all-pairs join; narrower bands trade join fan-in for recall."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    fp = docs.select(F.col(id_col).alias("id"),
+                     simhash64(F.col(text_col)).alias("fp"))
+    quarters = fp.withColumn("q", F.explode(F.array(
+        *[F.struct(F.lit(i).alias("qi"),
+                   F.shiftright("fp", width * i).bitwiseAND(F.lit(mask)).alias("qv"))
+          for i in range(n_bands)])))
+    left = quarters.select(F.col("id").alias("a"), F.col("fp").alias("fp_a"), "q")
+    right = quarters.select(F.col("id").alias("b"), F.col("fp").alias("fp_b"), "q")
+    cand = (left.join(right, ["q"]).where(F.col("a") < F.col("b"))
+                .select("a", "b", "fp_a", "fp_b").distinct())
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (cand.withColumn("hamming", ham)
+                .where(F.col("hamming") <= max_hamming)
+                .select("a", "b", "hamming"))
+
+
+def token_jaccard_pairs(docs: DataFrame, cohort_col: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact token-set Jaccard within cohorts (bounded self-join) —
+    the verify step behind MinHash candidates, SQL-mirrorable."""
+    tok = (docs.select(id_col, cohort_col,
+                       F.explode(F.array_distinct(
+                           F.split(normalized(F.col(text_col)), " "))).alias("w")))
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select(F.col(id_col).alias("a"), F.col(cohort_col).alias("c"), "w")
+    b = tok.select(F.col(id_col).alias("b"), F.col(cohort_col).alias("c"), "w")
+    inter = (a.join(b, ["c", "w"]).where(F.col("a") < F.col("b"))
+              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("i")))
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    return (inter.join(sa, "a").join(sb, "b")
+            .withColumn("jaccard", dround(
+                F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))))
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
+
+
+def embedding_cosine_pairs(embs: DataFrame, cohort_col: str = "label",
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           threshold: float = 0.3) -> DataFrame:
+    """Near-dup pairs by cosine similarity within cohorts. Dot/norm via
+    JVM higher-order functions in double precision (matches the
+    DuckDB oracle's arithmetic)."""
+    v = embs.select(id_col, cohort_col,
+                    F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+    a = v.select(F.col(id_col).alias("a"), F.col(cohort_col).alias("c"),
+                 F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("b"), F.col(cohort_col).alias("c"),
+                 F.col("v").alias("vb"))
+    pairs = a.join(b, "c").where(F.col("a") < F.col("b"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return (pairs.withColumn("cosine", dround(dot / (na * nb)))
+                 .where(F.col("cosine") >= threshold)
+                 .select("a", "b", "cosine"))
