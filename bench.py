@@ -1,0 +1,84 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline = the flagship end-to-end SOSI->OSM conversion (synthesized
+interleaved corpus sized to the sf's documents table) + representative
+relational / dedup / ANN queries from __spark_entry__.queries().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "agg_tpch_q1", "equi_join_agg", "broadcast_join_dims",
+    "window_rownum", "collect_sorted_list", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_token_jaccard", "ann_topk_bruteforce",
+    "token_stats",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from topo2osm_spark.plans.pipeline import run_pipeline
+    from topo2osm_spark.plans.session import build_session
+    from topo2osm_spark.sources.fixtures import documents_df
+
+    spark = build_session("bench", master=f"local[{cpus}]",
+                          shuffle_partitions=2 * int(cpus))
+    queries: dict[str, float] = {}
+
+    # --- headline: end-to-end conversion sized to the sf tier ---
+    n_docs = max(200, spark.read.parquet(f"{sf_dir}/documents.parquet").count())
+    out_dir = tempfile.mkdtemp(prefix="bench_wh_")
+    t0 = time.monotonic()
+    docs = documents_df(spark, n_docs, seed=42, max_sosi=3)
+    out = run_pipeline(spark, docs)
+    counts = {}
+    for name in ("nodes", "ways", "relations", "tile_assignments", "echo"):
+        out[name].write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        counts[name] = None
+    e2e = time.monotonic() - t0
+    queries["pipeline_e2e"] = round(e2e, 2)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spark.catalog.clearCache()
+
+    # --- representative operator queries on the driver tables ---
+    qmap = entry_mod.queries()
+    for qn in BENCH_QUERIES:
+        t1 = time.monotonic()
+        df = qmap[qn](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        queries[qn] = round(time.monotonic() - t1, 2)
+
+    docs_per_sec = round(n_docs / e2e, 2)
+    print(json.dumps({
+        "metric": "e2e_conversion_wall",
+        "value": round(e2e, 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": docs_per_sec,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,82 @@
+"""spark-submit batch entry (SURVEY.md §3.4): full SOSI->OSM conversion.
+
+    spark-submit --py-files engine.zip jobs/convert.py \
+        --n-docs 4000 --out /tmp/warehouse [--resume] [--input DIR]
+
+Input: either a parquet documents table (--input, input_hint shape)
+or the deterministic synthesized corpus (--n-docs, distributed
+generation — each executor synthesizes its share). Every stage
+checkpoints through the warehouse with per-partition lineage; --resume
+skips completed stages (op 43). Prints one JSON line with timings.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None, help="parquet documents table")
+    ap.add_argument("--n-docs", type=int, default=2000)
+    ap.add_argument("--max-sosi", type=int, default=3)
+    ap.add_argument("--out", required=True, help="warehouse/output dir")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-checkpoint", action="store_true",
+                    help="skip the warehouse layer (pure in-memory run)")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from topo2osm_spark.plans.pipeline import run_pipeline
+    from topo2osm_spark.plans.session import build_session
+    from topo2osm_spark.sources.fixtures import documents_df
+    from topo2osm_spark.sources.warehouse import Warehouse
+
+    spark = build_session("topo2osm-convert", master=args.master,
+                          shuffle_partitions=args.shuffle_partitions)
+    t0 = time.monotonic()
+    if args.input:
+        docs = spark.read.parquet(args.input)
+    else:
+        docs = documents_df(spark, args.n_docs, seed=42, max_sosi=args.max_sosi)
+    wh = None if args.no_checkpoint else Warehouse(spark, args.out)
+    out = run_pipeline(spark, docs, warehouse=wh, resume=args.resume)
+
+    stage_secs: dict[str, float] = {}
+    n_docs = args.n_docs
+    if args.input:
+        n_docs = docs.count()
+    counts = {}
+    for name in ("nodes", "ways", "relations", "tile_assignments", "echo"):
+        t1 = time.monotonic()
+        path = os.path.join(args.out, "out_" + name)
+        out[name].write.mode("overwrite").parquet(path)
+        stage_secs[name] = round(time.monotonic() - t1, 2)
+        counts[name] = spark.read.parquet(path).count()
+    # metrics table (op 4): per-objtype counts + integrity issues
+    metrics = (out["objects"].groupBy("obj_kind", "objtype")
+               .agg(F.count(F.lit(1)).alias("n")))
+    metrics.write.mode("overwrite").parquet(os.path.join(args.out, "_metrics"))
+    wall = time.monotonic() - t0
+    print(json.dumps({
+        "n_docs": n_docs, "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 2),
+        "stage_write_secs": stage_secs, "counts": counts,
+        "master": spark.sparkContext.master,
+        "resumed": bool(args.resume),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -74,24 +74,24 @@ def _is_closed(pts: np.ndarray) -> bool:
     return len(pts) >= 4 and _key(pts[0, 0], pts[0, 1]) == _key(pts[-1, 0], pts[-1, 1])
 
 
-def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    doc_id = pdf["doc_id"].iloc[0]
-    span_idx = int(pdf["span_idx"].iloc[0])
-    flate_id = int(pdf["flate_id"].iloc[0])
-    objtype = pdf["flate_objtype"].iloc[0]
-    out_rows = []
+def _assemble_one(doc_id: str, span_idx: int, flate_id: int, objtype,
+                  parts: list, out_rows: list) -> None:
+    """Assemble one FLATE's rings from its collected curve parts.
+    parts: [{ref_pos, ref, hole_group, c_lats, c_lons}, ...]."""
     ring_idx = 0
-    # grouped UDF sorts internally — determinism does not depend on
-    # shuffle arrival order
-    pdf = pdf.sort_values("ref_pos")
-    for hg, grp in pdf.groupby("hole_group", sort=True):
-        is_hole = int(hg) > 0
+    # sort by ref order — determinism never depends on shuffle order
+    parts = sorted(parts, key=lambda p: p["ref_pos"])
+    by_group: dict[int, list] = {}
+    for p in parts:
+        by_group.setdefault(int(p["hole_group"]), []).append(p)
+    for hg in sorted(by_group):
+        grp = by_group[hg]
+        is_hole = hg > 0
         pieces = []
-        for _, row in grp.iterrows():
-            lats = np.asarray(row["c_lats"], dtype=np.float64)
-            lons = np.asarray(row["c_lons"], dtype=np.float64)
-            pts = np.column_stack([lats, lons])
-            if row["ref"] < 0:  # minus = traverse reversed
+        for p in grp:
+            pts = np.column_stack([np.asarray(p["c_lats"], dtype=np.float64),
+                                   np.asarray(p["c_lons"], dtype=np.float64)])
+            if p["ref"] < 0:  # minus = traverse reversed
                 pts = pts[::-1]
             pieces.append(pts)
         for pts, closed in _chain_curves(pieces):
@@ -108,9 +108,19 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 "n_curves": int(len(grp)),
             })
             ring_idx += 1
-    if not out_rows:
-        return pd.DataFrame(columns=[f.name for f in ASSEMBLED_RINGS.fields])
-    return pd.DataFrame(out_rows)
+
+
+def _assemble_batches(it):
+    cols = [f.name for f in ASSEMBLED_RINGS.fields]
+    for pdf in it:
+        out_rows: list = []
+        for doc_id, span_idx, flate_id, objtype, parts in zip(
+                pdf["doc_id"], pdf["span_idx"], pdf["flate_id"],
+                pdf["flate_objtype"], pdf["parts"]):
+            _assemble_one(doc_id, int(span_idx), int(flate_id), objtype,
+                          list(parts), out_rows)
+        yield (pd.DataFrame(out_rows) if out_rows
+               else pd.DataFrame(columns=cols))
 
 
 def assemble_rings(flates: DataFrame, curves: DataFrame) -> DataFrame:
@@ -135,8 +145,15 @@ def assemble_rings(flates: DataFrame, curves: DataFrame) -> DataFrame:
                       F.col("lats").alias("c_lats"),
                       F.col("lons").alias("c_lons"))
     joined = refs.join(c, ["doc_id", "span_idx", "curve_id"], "inner")
-    return (joined.groupBy("doc_id", "span_idx", "flate_id")
-                  .applyInPandas(_assemble_group, ASSEMBLED_RINGS))
+    # one hash-agg row per FLATE, then batch assembly in mapInPandas —
+    # avoids the per-group Python round-trip of applyInPandas (matters
+    # at millions of small groups)
+    grouped = (joined.groupBy("doc_id", "span_idx", "flate_id")
+               .agg(F.first("flate_objtype").alias("flate_objtype"),
+                    F.collect_list(F.struct(
+                        "ref_pos", "ref", "hole_group",
+                        "c_lats", "c_lons")).alias("parts")))
+    return grouped.mapInPandas(_assemble_batches, ASSEMBLED_RINGS)
 
 
 def integrity_report(flates: DataFrame, curves: DataFrame) -> DataFrame:

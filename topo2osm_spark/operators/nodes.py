@@ -43,19 +43,6 @@ QUANT = 7  # decimals — the reference's node-coordinate rounding contract
 SNAP_RES = 22
 
 
-@F.pandas_udf(T.LongType())
-def cell_at_snap_res(lat: pd.Series, lon: pd.Series) -> pd.Series:
-    from topo2osm_spark.functions import cells
-    return pd.Series(cells.encode(lat.to_numpy(), lon.to_numpy(), SNAP_RES))
-
-
-@F.pandas_udf(T.ArrayType(T.LongType()))
-def kring_at_snap_res(lat: pd.Series, lon: pd.Series) -> pd.Series:
-    from topo2osm_spark.functions import cells
-    c = cells.encode(lat.to_numpy(), lon.to_numpy(), SNAP_RES)
-    return pd.Series(list(cells.neighbors(c)))
-
-
 def quantize(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
     """Add qlat/qlon (1e-7 deg int grid) and the content-addressed
     node_id = xxhash64(qlat, qlon). Pure map-side — no shuffle."""
@@ -76,49 +63,98 @@ def dedup_nodes(point_df: DataFrame) -> DataFrame:
              .select("node_id", "lat", "lon", "n_refs"))
 
 
+_M_PER_DEG = 111320.0
+
+
 def snap_mapping(nodes: DataFrame, tol_m: float = 0.5,
-                 iterations: int = 2) -> DataFrame:
+                 iterations: int = 2, max_abs_lat: float = 71.5) -> DataFrame:
     """op 13: (node_id, lat, lon) -> (node_id, canon_id) for nodes that
-    snap to a lower-id node within tol_m. Identity rows are omitted."""
-    left = nodes.select(
-        F.col("node_id").alias("a"), F.col("lat").alias("alat"),
-        F.col("lon").alias("alon"),
-        cell_at_snap_res("lat", "lon").alias("cell"))
-    right = nodes.select(
-        F.col("node_id").alias("b"), F.col("lat").alias("blat"),
-        F.col("lon").alias("blon"),
-        F.explode(kring_at_snap_res("lat", "lon")).alias("cell"))
-    cand = left.join(right, "cell").where(F.col("a") < F.col("b"))
-    # haversine refine, JVM-side trig (no Python in the pair filter)
-    r = 6371008.8
-    dlat = F.radians(F.col("blat") - F.col("alat"))
-    dlon = F.radians(F.col("blon") - F.col("alon"))
-    h = (F.pow(F.sin(dlat / 2), 2)
-         + F.cos(F.radians("alat")) * F.cos(F.radians("blat"))
-         * F.pow(F.sin(dlon / 2), 2))
-    dist = 2 * F.lit(r) * F.asin(F.sqrt(h))
-    edges = (cand.where(dist <= F.lit(tol_m))
-                 .select("a", "b").distinct()
-                 .persist())
-    if edges.isEmpty():
-        # common case on clean inputs: nothing within tolerance
-        return edges.sparkSession.createDataFrame([], "node_id long, canon_id long")
-    # min-label propagation over undirected edges; persist each round
-    # to truncate lineage (stage count stays O(iterations))
-    adj = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
-    labels = (adj.select(F.col("a").alias("node_id"))
-                 .distinct()
-                 .withColumn("label", F.col("node_id")))
+    snap to a lower-id node within tol_m. Identity rows are omitted.
+
+    Shape (one shuffle + one Arrow stage — replaces an earlier
+    edge-join + iterative label propagation that cost ~40 scheduler
+    rounds on small inputs):
+
+    1. shifted-grid candidate groups: bins of size g = 4*tol in both
+       axes at 4 half-cell offsets — the classic guarantee that any
+       pair within tol <= g/2 shares at least one bin (JVM floor math,
+       4x map-side replication, no Python, no k-ring join);
+    2. per-bin union-find in numpy (applyInPandas): exact pairwise
+       planar distances, components -> min-id canon;
+    3. global min per node across the 4 grids + `iterations` rounds of
+       path compression over the (tiny) non-identity mapping — resolves
+       chains that straddle bins.
+
+    g_lon uses cos(max_abs_lat) (default covers all of Norway) so the
+    bin guarantee holds at the highest latitude present; lower
+    latitudes just get slightly over-wide bins (more candidates, same
+    answer). Dense-coast hot bins stay small because g is ~2 m.
+    """
+    import math
+    g_lat = 4.0 * tol_m / _M_PER_DEG
+    g_lon = 4.0 * tol_m / (_M_PER_DEG * max(math.cos(math.radians(max_abs_lat)), 0.05))
+
+    binned = nodes.select(
+        "node_id", "lat", "lon",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(oy * 2 + ox).alias("grid"),
+                F.floor(F.col("lat") / g_lat + oy * 0.5).alias("by"),
+                F.floor(F.col("lon") / g_lon + ox * 0.5).alias("bx"))
+            for oy in (0, 1) for ox in (0, 1)])).alias("b"))
+
+    # one hash-agg row per bin; only multi-node bins survive (the
+    # overwhelming majority of bins are singletons — never pay a
+    # Python-group round-trip for them)
+    multi = (binned
+             .groupBy("b.grid", "b.by", "b.bx")
+             .agg(F.collect_list(F.struct("node_id", "lat", "lon")).alias("pts"))
+             .where(F.size("pts") >= 2)
+             .select("pts"))
+
+    def uf_batches(it):
+        for pdf in it:
+            out_ids, out_canon = [], []
+            for pts in pdf["pts"]:
+                ids = np.array([p["node_id"] for p in pts], dtype=np.int64)
+                lat = np.array([p["lat"] for p in pts])
+                lon = np.array([p["lon"] for p in pts])
+                clat = np.cos(np.radians(lat.mean()))
+                dy = (lat[:, None] - lat[None, :]) * _M_PER_DEG
+                dx = (lon[:, None] - lon[None, :]) * _M_PER_DEG * clat
+                close = (dy * dy + dx * dx) <= tol_m * tol_m
+                parent = np.arange(len(ids))
+
+                def find(i):
+                    while parent[i] != i:
+                        parent[i] = parent[parent[i]]
+                        i = parent[i]
+                    return i
+
+                for i, j in zip(*np.nonzero(np.triu(close, 1))):
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+                roots = np.array([find(i) for i in range(len(ids))])
+                canon = np.empty(len(ids), dtype=np.int64)
+                for r in np.unique(roots):
+                    members = roots == r
+                    canon[members] = ids[members].min()
+                keep = canon != ids
+                out_ids.extend(ids[keep].tolist())
+                out_canon.extend(canon[keep].tolist())
+            yield pd.DataFrame({"node_id": out_ids, "canon_id": out_canon})
+
+    local = multi.mapInPandas(uf_batches, "node_id long, canon_id long")
+    mapping = local.groupBy("node_id").agg(F.min("canon_id").alias("canon_id"))
+    # path compression: follow canon -> canon' for chains across bins
     for _ in range(iterations):
-        neigh = (adj.join(labels, adj["b"] == labels["node_id"])
-                    .groupBy("a").agg(F.min("label").alias("nlabel")))
-        labels = (labels.join(neigh, labels["node_id"] == neigh["a"], "left")
-                        .select("node_id",
-                                F.least("label", F.coalesce("nlabel", "label")).alias("label"))
-                        .persist())
-    return (labels.where(F.col("label") != F.col("node_id"))
-                  .select("node_id", F.col("label").alias("canon_id")))
+        nxt = mapping.select(F.col("node_id").alias("c2"),
+                             F.col("canon_id").alias("canon2"))
+        mapping = (mapping.join(nxt, mapping["canon_id"] == nxt["c2"], "left")
+                   .select("node_id",
+                           F.coalesce("canon2", "canon_id").alias("canon_id")))
+    return mapping.where(F.col("node_id") != F.col("canon_id"))
 
 
 def apply_snap(df: DataFrame, mapping: DataFrame, node_col: str = "node_id",

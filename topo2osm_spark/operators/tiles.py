@@ -55,21 +55,31 @@ def parse_media_refs(media_spans: DataFrame) -> DataFrame:
     return m.withColumn("tile_cell", tile_cell_udf("z", "x", "y"))
 
 
-def tile_vector_join(media: DataFrame, vector_cells: DataFrame) -> DataFrame:
-    """media: parse_media_refs output; vector_cells: (way_id, cell) at
-    VECTOR_RES. Returns (doc_id, media_ref, cell_id, way_id): every
-    way whose geometry touches the referenced tile."""
+def tile_vector_join(media: DataFrame, vector_cells: DataFrame,
+                     per_document: bool = True) -> DataFrame:
+    """media: parse_media_refs output; vector_cells: (doc_id, way_id,
+    cell) at VECTOR_RES. Returns (doc_id, media_ref, cell_id, way_id).
+
+    per_document=True (default, the FIXTURES.md contract) aligns a
+    media span's tile with ITS OWN document's vector cells — output is
+    O(media x cells-per-doc), linear in corpus size; deliberately
+    non-overlapping tiles match nothing. per_document=False performs
+    the global raster<->vector alignment (any way touching the tile);
+    at scale that output is quadratic in dense areas — callers must
+    aggregate (e.g. counts per tile) rather than materialize pairs."""
     zooms = [r.z for r in media.select("z").distinct().collect()]
     if not zooms:
         return media.sparkSession.createDataFrame(
             [], "doc_id string, media_ref string, cell_id long, way_id long")
-    vc = vector_cells.dropDuplicates(["way_id", "cell"])
+    keys = ["doc_id", "way_id", "cell"] if per_document else ["way_id", "cell"]
+    vc = vector_cells.dropDuplicates(keys)
     # one ancestor key per distinct zoom actually present (bounded explode)
     vc = (vc.withColumn("z", F.explode(F.array(*[F.lit(z) for z in sorted(zooms)])))
             .withColumn("anc", parent_cell_udf("cell", "z")))
+    join_on = ["doc_id", "z", "anc"] if per_document else ["z", "anc"]
     joined = media.select("doc_id", "media_ref", "z",
                           F.col("tile_cell").alias("anc")) \
-                  .join(vc, ["z", "anc"])
+                  .join(vc, join_on)
     return (joined.select("doc_id", "media_ref",
                           F.col("cell").alias("cell_id"), "way_id")
                   .dropDuplicates(["doc_id", "media_ref", "cell_id", "way_id"]))

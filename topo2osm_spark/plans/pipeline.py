@@ -118,9 +118,9 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     # S5: explode to way-nodes, quantize (content-addressed node ids)
     way_nodes = nodeops.quantize(
         way_geoms.select(
-            "way_id",
+            "doc_id", "way_id",
             F.posexplode(F.arrays_zip("lats", "lons")).alias("pos", "ll"))
-        .select("way_id", "pos",
+        .select("doc_id", "way_id", "pos",
                 F.col("ll.lats").alias("lat"), F.col("ll.lons").alias("lon")))
     way_nodes = ck(way_nodes, "way_nodes")
 
@@ -208,8 +208,8 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
             spans.where(F.col("kind") == "media").select("doc_id", "media_ref"))
         vector_cells = (way_nodes
                         .withColumn("cell", tiles.cell_at_vector_res("lat", "lon"))
-                        .select("way_id", "cell")
-                        .dropDuplicates(["way_id", "cell"]))
+                        .select("doc_id", "way_id", "cell")
+                        .dropDuplicates(["doc_id", "way_id", "cell"]))
         out["tile_assignments"] = tiles.tile_vector_join(media, vector_cells)
 
     return out
