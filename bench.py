@@ -38,15 +38,20 @@ def main() -> int:
     from topo2osm_spark.plans.session import build_session
     from topo2osm_spark.sources.fixtures import documents_df
 
+    # shuffle=16 and AQE off: measured on this host — tiny reduce tasks
+    # and AQE's per-stage re-planning dominate at bench scale (see
+    # BENCH/BASELINE.md); production configs re-enable both.
     spark = build_session("bench", master=f"local[{cpus}]",
-                          shuffle_partitions=2 * int(cpus))
+                          shuffle_partitions=16)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     queries: dict[str, float] = {}
 
     # --- headline: end-to-end conversion sized to the sf tier ---
     n_docs = max(200, spark.read.parquet(f"{sf_dir}/documents.parquet").count())
     out_dir = tempfile.mkdtemp(prefix="bench_wh_")
     t0 = time.monotonic()
-    docs = documents_df(spark, n_docs, seed=42, max_sosi=3)
+    docs = documents_df(spark, n_docs, seed=42, max_sosi=3,
+                        partitions=max(8, min(int(cpus), n_docs // 500)))
     out = run_pipeline(spark, docs)
     counts = {}
     for name in ("nodes", "ways", "relations", "tile_assignments", "echo"):

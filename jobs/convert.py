@@ -32,6 +32,12 @@ def main() -> int:
                     help="skip the warehouse layer (pure in-memory run)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="input partitions for synthesized corpus")
+    ap.add_argument("--aqe", action="store_true",
+                    help="enable AQE (recommended on real clusters; its "
+                         "per-stage re-optimization costs 1.5-2x at sandbox "
+                         "scale, so local benches leave it off)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -43,11 +49,16 @@ def main() -> int:
 
     spark = build_session("topo2osm-convert", master=args.master,
                           shuffle_partitions=args.shuffle_partitions)
+    if not args.aqe:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     t0 = time.monotonic()
     if args.input:
         docs = spark.read.parquet(args.input)
     else:
-        docs = documents_df(spark, args.n_docs, seed=42, max_sosi=args.max_sosi)
+        parts = args.partitions or max(
+            8, min(spark.sparkContext.defaultParallelism, args.n_docs // 500))
+        docs = documents_df(spark, args.n_docs, seed=42,
+                            max_sosi=args.max_sosi, partitions=parts)
     wh = None if args.no_checkpoint else Warehouse(spark, args.out)
     out = run_pipeline(spark, docs, warehouse=wh, resume=args.resume)
 
@@ -55,13 +66,28 @@ def main() -> int:
     n_docs = args.n_docs
     if args.input:
         n_docs = docs.count()
-    counts = {}
-    for name in ("nodes", "ways", "relations", "tile_assignments", "echo"):
-        t1 = time.monotonic()
-        path = os.path.join(args.out, "out_" + name)
-        out[name].write.mode("overwrite").parquet(path)
-        stage_secs[name] = round(time.monotonic() - t1, 2)
-        counts[name] = spark.read.parquet(path).count()
+    # materialize the shared core once (the persisted chain up to the
+    # node table), then run the five output writes as CONCURRENT Spark
+    # jobs — they only touch cached intermediates, and overlapping them
+    # hides the scheduler/Python-runner latency of each tail.
+    t1 = time.monotonic()
+    out["nodes"].count()
+    stage_secs["core_chain"] = round(time.monotonic() - t1, 2)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_one(name: str) -> tuple[str, float]:
+        t = time.monotonic()
+        out[name].write.mode("overwrite").parquet(
+            os.path.join(args.out, "out_" + name))
+        return name, round(time.monotonic() - t, 2)
+
+    names = ("nodes", "ways", "relations", "tile_assignments", "echo")
+    with ThreadPoolExecutor(max_workers=len(names)) as ex:
+        for name, secs in ex.map(write_one, names):
+            stage_secs[name] = secs
+    counts = {name: spark.read.parquet(os.path.join(args.out, "out_" + name)).count()
+              for name in names}
     # metrics table (op 4): per-objtype counts + integrity issues
     metrics = (out["objects"].groupBy("obj_kind", "objtype")
                .agg(F.count(F.lit(1)).alias("n")))

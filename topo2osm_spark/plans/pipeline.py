@@ -62,14 +62,24 @@ def echo_spans(docs: DataFrame) -> DataFrame:
 def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
                  warehouse: Warehouse | None = None, resume: bool = True,
                  run_pip: bool = True, run_tiles: bool = True,
-                 persist: bool = True) -> dict:
+                 persist: bool = True,
+                 persist_level: str = "DISK_ONLY") -> dict:
     """Full conversion; returns a dict of output DataFrames.
 
     persist=True keeps the multiply-consumed intermediates (parsed
-    geometry, rings, way nodes, snap map) in executor memory — they
-    feed 2-4 downstream branches each; without a warehouse checkpoint
-    they would otherwise recompute per action.
+    geometry, rings, way nodes, snap map) — they feed 2-4 downstream
+    branches each; without a warehouse checkpoint they would otherwise
+    recompute per action.
+
+    persist_level: DISK_ONLY by default. Measured on local[32]:
+    deserialized MemoryStore caching of the wide nested coord arrays
+    collapses under >=16 concurrent unrolling tasks (eviction thrash,
+    2-3x slowdown), while DISK_ONLY stays flat — the local shuffle
+    disk is fast and columnar blocks compress. On a real cluster with
+    per-executor memory pools, pass "MEMORY_AND_DISK" (serialized).
     """
+    from pyspark import StorageLevel
+    level = getattr(StorageLevel, persist_level)
     ck_seq = []
 
     def ck(df: DataFrame, name: str, *fp_parts) -> DataFrame:
@@ -78,7 +88,7 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
             df, _ = warehouse.stage(df, name, fp, resume=resume)
             ck_seq.append(fp)
         elif persist:
-            df = df.persist()
+            df = df.persist(level)
         return df
 
     spans = explode_spans(docs)
