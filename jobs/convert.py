@@ -38,6 +38,9 @@ def main() -> int:
                     help="enable AQE (recommended on real clusters; its "
                          "per-stage re-optimization costs 1.5-2x at sandbox "
                          "scale, so local benches leave it off)")
+    ap.add_argument("--skip-counts", action="store_true",
+                    help="skip post-write count jobs + metrics table "
+                         "(scaling benches: removes fixed driver latency)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -83,15 +86,21 @@ def main() -> int:
         return name, round(time.monotonic() - t, 2)
 
     names = ("nodes", "ways", "relations", "tile_assignments", "echo")
-    with ThreadPoolExecutor(max_workers=len(names)) as ex:
+    # write-job concurrency: enough overlap to hide per-job scheduler
+    # latency, low enough to stay under the host's IPC-concurrency
+    # collapse threshold (~8-12 active Arrow runner contexts)
+    wc = int(os.environ.get("SPARK_GRAFT_WRITE_CONCURRENCY", "2"))
+    with ThreadPoolExecutor(max_workers=max(1, wc)) as ex:
         for name, secs in ex.map(write_one, names):
             stage_secs[name] = secs
-    counts = {name: spark.read.parquet(os.path.join(args.out, "out_" + name)).count()
-              for name in names}
-    # metrics table (op 4): per-objtype counts + integrity issues
-    metrics = (out["objects"].groupBy("obj_kind", "objtype")
-               .agg(F.count(F.lit(1)).alias("n")))
-    metrics.write.mode("overwrite").parquet(os.path.join(args.out, "_metrics"))
+    counts = {}
+    if not args.skip_counts:
+        counts = {name: spark.read.parquet(os.path.join(args.out, "out_" + name)).count()
+                  for name in names}
+        # metrics table (op 4): per-objtype counts + integrity issues
+        metrics = (out["objects"].groupBy("obj_kind", "objtype")
+                   .agg(F.count(F.lit(1)).alias("n")))
+        metrics.write.mode("overwrite").parquet(os.path.join(args.out, "_metrics"))
     wall = time.monotonic() - t0
     print(json.dumps({
         "n_docs": n_docs, "wall_sec": round(wall, 2),

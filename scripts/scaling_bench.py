@@ -67,6 +67,7 @@ def submit(zpath: str, master: str, input_path: str, shuffle: int = 16,
         "--py-files", zpath,
         os.path.join(REPO, "jobs", "convert.py"),
         "--input", input_path, "--out", out_dir, "--no-checkpoint",
+        "--skip-counts",
         "--master", master, "--shuffle-partitions", str(shuffle),
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
