@@ -1,0 +1,81 @@
+"""Capture physical plans for the headline operators -> BENCH/PLANS.md.
+
+The review checklist: filters/projections reach the parquet scan
+(PushedFilters/ReadSchema), the tag join broadcasts, cell joins are
+stock hash/sort-merge joins on int64 keys, WholeStageCodegen spans the
+relational pipeline, and the only Python nodes are the intended Arrow
+ones (MapInArrow / ArrowEvalPython / FlatMapsInPandas).
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+
+def grab(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from topo2osm_spark.plans.session import build_session
+    from topo2osm_spark.plans.pipeline import run_pipeline
+    from topo2osm_spark.sources.fixtures import documents_df
+
+    spark = build_session("plans", master="local[4]", shuffle_partitions=8)
+    sf = "/root/testdata/sf0.01"
+    sections = []
+
+    q = e.queries()
+    for name in ("scan_filter_project", "agg_tpch_q1", "broadcast_join_dims",
+                 "window_rownum", "dedup_minhash_lsh", "ann_topk_bruteforce"):
+        sections.append((name, grab(q[name](spark, sf))))
+
+    # simple-mode plan for codegen detection (the `*(n)` markers —
+    # formatted mode does not annotate WholeStageCodegen spans). AQE
+    # only finalizes the plan on execution, so run the query first.
+    q1 = q["agg_tpch_q1"](spark, sf)
+    q1.collect()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q1.explain()
+    simple_q1 = buf.getvalue()
+
+    docs = documents_df(spark, 6, n_municipalities=3, seed=42)
+    out = run_pipeline(spark, docs, persist=False)
+    sections.append(("pipeline:ways", grab(out["ways"])))
+    sections.append(("pipeline:tile_assignments", grab(out["tile_assignments"])))
+
+    lines = ["# Captured physical plans (scripts/explain_plans.py)", ""]
+    for name, plan in sections:
+        lines += [f"## {name}", "", "```", plan.strip()[:8000], "```", ""]
+    with open("BENCH/PLANS.md", "w") as f:
+        f.write("\n".join(lines))
+
+    # quick assertions -> stdout
+    checks = {
+        "scan pushdown (PushedFilters)": "PushedFilters" in sections[0][1],
+        "tag/dim join broadcasts": "BroadcastHashJoin" in sections[2][1],
+        "codegen in relational path": "*(" in simple_q1,
+        "ways plan uses Arrow python nodes only":
+            ("MapInArrow" in sections[-2][1] or "ArrowEvalPython" in sections[-2][1])
+            and "BatchEvalPython" not in sections[-2][1],
+        "top-k is TakeOrderedAndProject": "TakeOrderedAndProject" in sections[5][1],
+    }
+    for k, v in checks.items():
+        print(("PASS " if v else "FAIL ") + k)
+    print("wrote BENCH/PLANS.md")
+    return 0 if all(checks.values()) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
