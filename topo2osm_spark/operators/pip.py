@@ -104,26 +104,37 @@ def pip_join(points: DataFrame, rings: DataFrame,
            .select(*point_key_cols, "lat", "lon", "cell"))
     cand = pts.join(cover, "cell").drop("cell").dropDuplicates(
         [*point_key_cols, *ring_key_cols])
-    # refine: bring ring coords back (join on ring keys), group per ring,
-    # vectorized ray-cast of all candidate points against that ring
+    # refine: one hash-agg row per ring (all candidate points collected),
+    # join ring coords once, then batched mapInPandas ray-casting — no
+    # per-group Python round-trip (same pattern as snap/assembly)
     ring_geo = rings.select(*ring_key_cols, "lats", "lons")
-    cand_geo = cand.join(ring_geo, ring_key_cols)
+    grouped = (cand.groupBy(*ring_key_cols)
+               .agg(F.collect_list(F.struct(*point_key_cols, "lat", "lon"))
+                     .alias("cand_pts"))
+               .join(ring_geo, ring_key_cols))
 
     out_schema = T.StructType(
         [cand.schema[k] for k in point_key_cols]
-        + [cand.schema[k] for k in ring_key_cols]
-        + [T.StructField("inside", T.BooleanType())])
+        + [cand.schema[k] for k in ring_key_cols])
 
-    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
-        ring_lat = np.asarray(pdf["lats"].iloc[0], dtype=np.float64)
-        ring_lon = np.asarray(pdf["lons"].iloc[0], dtype=np.float64)
-        inside = geom.points_in_ring(pdf["lat"].to_numpy(),
-                                     pdf["lon"].to_numpy(),
-                                     ring_lat, ring_lon)
-        res = pdf[[*point_key_cols, *ring_key_cols]].copy()
-        res["inside"] = inside
-        return res
+    def refine_batches(it):
+        cols = [*point_key_cols, *ring_key_cols]
+        for pdf in it:
+            rows = {c: [] for c in cols}
+            for i in range(len(pdf)):
+                ring_lat = np.asarray(pdf["lats"].iloc[i], dtype=np.float64)
+                ring_lon = np.asarray(pdf["lons"].iloc[i], dtype=np.float64)
+                cand_pts = pdf["cand_pts"].iloc[i]
+                plat = np.array([p["lat"] for p in cand_pts])
+                plon = np.array([p["lon"] for p in cand_pts])
+                inside = geom.points_in_ring(plat, plon, ring_lat, ring_lon)
+                for j in np.nonzero(inside)[0]:
+                    p = cand_pts[j]
+                    for k in point_key_cols:
+                        rows[k].append(p[k])
+                    for k in ring_key_cols:
+                        rows[k].append(pdf[k].iloc[i])
+            yield pd.DataFrame(rows) if rows[cols[0]] else pd.DataFrame(
+                {c: [] for c in cols})
 
-    refined = (cand_geo.groupBy(*ring_key_cols)
-                       .applyInPandas(refine, out_schema))
-    return refined.where("inside").drop("inside")
+    return grouped.mapInPandas(refine_batches, out_schema)

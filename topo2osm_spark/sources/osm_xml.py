@@ -1,0 +1,109 @@
+"""OSM XML sink (SURVEY.md §2 op 3).
+
+The reference emits OSM XML with negative ids, upload='false', and
+<tag k v/> children [U: topo2osm.py::save_osm writer; mount empty,
+SURVEY.md §0]. The engine's primary sink is columnar tables; this
+optional sink serializes nodes/ways/relations to XML fragments via
+mapInArrow partition serializers — one XML document per partition
+file, which is how a distributed engine shards a 10^12-entity export
+(single-file XML is inherently serial; the reference wrote one file
+per municipality, the analogue here is one shard per partition).
+
+Ids are negated on write (OSM convention for not-yet-uploaded
+entities) — the engine's content-addressed ids are positive int64.
+"""
+
+from __future__ import annotations
+
+from xml.sax.saxutils import quoteattr
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F, types as T
+
+_OUT = T.StructType([T.StructField("xml", T.StringType())])
+_HEADER = "<?xml version='1.0' encoding='UTF-8'?>\n<osm version='0.6' upload='false' generator='topo2osm_spark'>"
+
+
+def _neg(v: int) -> int:
+    return -abs(int(v))
+
+
+def _tags_xml(tags) -> str:
+    """tags arrives as a dict (pandas path) or list of (k, v) pairs
+    (Arrow MapType.to_pylist)."""
+    if not tags:
+        return ""
+    items = tags.items() if isinstance(tags, dict) else tags
+    return "".join(f"\n    <tag k={quoteattr(k)} v={quoteattr(str(v))} />"
+                   for k, v in sorted(items))
+
+
+def nodes_to_xml(nodes: DataFrame) -> DataFrame:
+    """nodes(node_id, lat, lon) -> one XML shard string per partition."""
+
+    def ser(batches):
+        parts = [_HEADER]
+        for b in batches:
+            ids = b.column("node_id").to_pylist()
+            lats = b.column("lat").to_pylist()
+            lons = b.column("lon").to_pylist()
+            for i, la, lo in zip(ids, lats, lons):
+                parts.append(
+                    f"\n  <node id='{_neg(i)}' lat='{la:.7f}' lon='{lo:.7f}' "
+                    f"version='1' />")
+        parts.append("\n</osm>\n")
+        yield pa.RecordBatch.from_pylist([{"xml": "".join(parts)}],
+                                         schema=pa.schema([pa.field("xml", pa.string())]))
+
+    return nodes.select("node_id", "lat", "lon").mapInArrow(ser, _OUT)
+
+
+def ways_to_xml(ways: DataFrame) -> DataFrame:
+    """ways(way_id, node_ids, tags, emit) -> XML shards (emit only)."""
+
+    def ser(batches):
+        parts = [_HEADER]
+        for b in batches:
+            d = b.to_pylist()
+            for row in d:
+                nds = "".join(f"\n    <nd ref='{_neg(n)}' />"
+                              for n in row["node_ids"])
+                parts.append(
+                    f"\n  <way id='{_neg(row['way_id'])}' version='1'>"
+                    f"{nds}{_tags_xml(row['tags'])}\n  </way>")
+        parts.append("\n</osm>\n")
+        yield pa.RecordBatch.from_pylist([{"xml": "".join(parts)}],
+                                         schema=pa.schema([pa.field("xml", pa.string())]))
+
+    return (ways.where(F.col("emit"))
+                .select("way_id", "node_ids", "tags")
+                .mapInArrow(ser, _OUT))
+
+
+def relations_to_xml(relations: DataFrame) -> DataFrame:
+    """relations(rel_id, members, tags, rel_type) -> XML shards."""
+
+    def ser(batches):
+        parts = [_HEADER]
+        for b in batches:
+            for row in b.to_pylist():
+                mems = "".join(
+                    f"\n    <member type='way' ref='{_neg(m['way_id'])}' "
+                    f"role={quoteattr(m['role'])} />"
+                    for m in row["members"])
+                tags = dict(row["tags"] or {})
+                tags["type"] = row["rel_type"]
+                parts.append(
+                    f"\n  <relation id='{_neg(row['rel_id'])}' version='1'>"
+                    f"{mems}{_tags_xml(tags)}\n  </relation>")
+        parts.append("\n</osm>\n")
+        yield pa.RecordBatch.from_pylist([{"xml": "".join(parts)}],
+                                         schema=pa.schema([pa.field("xml", pa.string())]))
+
+    return (relations.select("rel_id", "members", "tags", "rel_type")
+                     .mapInArrow(ser, _OUT))
+
+
+def write_xml_shards(df_xml: DataFrame, path: str) -> None:
+    """Write one .osm file per partition shard (text sink)."""
+    df_xml.write.mode("overwrite").text(path)
