@@ -317,6 +317,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("l_returnflag"))
     q["salted_agg"] = salted_agg
 
+    def sessionize(spark, sf):  # ops 28/29 composition: gap sessionization
+        _tune(spark)
+        from pyspark.sql import Window as W
+        ev = _t(spark, sf, "events").where(F.col("user_id") < 100)
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        sess = (ev.withColumn("new_sess",
+                              F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+                  .withColumn("session_id",
+                              F.sum("new_sess").over(
+                                  w.rowsBetween(W.unboundedPreceding, 0))))
+        return (sess.groupBy("user_id", "session_id")
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .orderBy("user_id", "session_id"))
+    q["sessionize"] = sessionize
+
+    def cube_counts(spark, sf):  # op 25: cube over two dims
+        _tune(spark)
+        o = _t(spark, sf, "orders")
+        return (o.cube("o_orderstatus", "o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("o_orderstatus").asc_nulls_first(),
+                         F.col("o_orderpriority").asc_nulls_first()))
+    q["cube_counts"] = cube_counts
+
     # ---- text analysis suite ----
     def token_stats(spark, sf):
         _tune(spark)
@@ -461,6 +486,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = _geo_outputs(spark, sf)
         return out["membership"]
     q["pip_membership"] = pip_membership
+
+    def island_hierarchy(spark, sf):
+        out = _geo_outputs(spark, sf)
+        return out["islands"]
+    q["island_hierarchy"] = island_hierarchy
 
     def tile_join(spark, sf):
         out = _geo_outputs(spark, sf)
@@ -619,6 +649,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT l_returnflag, floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+    sql["sessionize"] = """
+        WITH g AS (
+          SELECT user_id, event_id, ts,
+                 epoch(ts) - epoch(lag(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+          FROM events WHERE user_id < 100),
+        s AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
+          FROM g),
+        sid AS (
+          SELECT user_id, event_id,
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS session_id
+          FROM s)
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM sid GROUP BY user_id, session_id
+        ORDER BY user_id, session_id"""
+
+    sql["cube_counts"] = """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
 
     sql["token_stats"] = r"""
         SELECT doc_id,

@@ -69,7 +69,8 @@ def test_shared_curve_shares_all_node_ids(out, docs_df):
                 flates = [o["obj_id"] for o in objs if o["obj_kind"] == "FLATE"
                           and shared[0] in [abs(r) for r in o["refs"]]]
                 curve = next(o for o in objs if o["obj_id"] == shared[0])
-                target = (row["doc_id"], si, set(flates), len(curve["coords"]))
+                n_distinct = len({tuple(c[:2]) for c in curve["coords"]})
+                target = (row["doc_id"], si, set(flates), n_distinct)
                 break
         if target:
             break
@@ -134,6 +135,19 @@ def test_membership_self_containment(out, pipeline_out):
     closed_flates = {(r["doc_id"], r["flate_id"]) for r in out["rings"]
                      if not r["is_hole"] and r["closed"]}
     assert len(self_pairs & closed_flates) >= 0.9 * len(closed_flates)
+
+
+def test_island_hierarchy(out, pipeline_out):
+    """Island FLATEs (land ring reusing a lake hole's curves) resolve
+    to their containing water body (SURVEY.md §2.12)."""
+    islands = pipeline_out["islands"].collect()
+    assert len(islands) > 0
+    for i in islands:
+        assert i["island_objtype"] in ("Skog", "Myr", "DyrketMark", "SnøIsbre")
+        assert i["water_objtype"] in ("Innsjø", "InnsjøRegulert", "ElvBekk", "Havflate")
+        assert (i["doc_id"], i["flate_id"]) != (i["ring_doc_id"], i["water_flate_id"])
+    # the seeded case: island lives in the SAME doc as its lake
+    assert any(i["doc_id"] == i["ring_doc_id"] for i in islands)
 
 
 def test_tile_assignments_alignment(out):

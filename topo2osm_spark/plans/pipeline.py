@@ -203,14 +203,35 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
         membership = pip.pip_join(
             pts.select("pt_uid", "lat", "lon"), outer_rings,
             ["pt_uid"], ["ring_uid"])
+        pt_meta = pts.select("pt_uid", "pt_doc", "pt_flate").join(
+            flates.select(F.col("doc_id").alias("pt_doc"),
+                          F.col("obj_id").alias("pt_flate"),
+                          F.col("objtype").alias("pt_objtype")),
+            ["pt_doc", "pt_flate"])
         out["membership"] = (membership
-            .join(pts.select("pt_uid", "pt_doc", "pt_flate"), "pt_uid")
+            .join(pt_meta, "pt_uid")
             .join(outer_rings.select("ring_uid", "doc_id", "span_idx",
                                      "flate_id", F.col("objtype").alias("ring_objtype")),
                   "ring_uid")
             .select(F.col("pt_doc").alias("doc_id"), F.col("pt_flate").alias("flate_id"),
+                    "pt_objtype",
                     F.col("doc_id").alias("ring_doc_id"), "span_idx",
                     F.col("flate_id").alias("ring_flate_id"), "ring_objtype"))
+
+        # island containment hierarchy (SURVEY.md §2.12): a land-class
+        # FLATE whose interior point falls inside a DIFFERENT water-class
+        # FLATE's outer ring is an island of that water body.
+        water_types = ("Innsjø", "InnsjøRegulert", "ElvBekk", "Havflate")
+        land_types = ("Skog", "Myr", "DyrketMark", "SnøIsbre")
+        m = out["membership"]
+        out["islands"] = (m.where(
+            F.col("ring_objtype").isin(*water_types)
+            & F.col("pt_objtype").isin(*land_types)
+            & ~((F.col("doc_id") == F.col("ring_doc_id"))
+                & (F.col("flate_id") == F.col("ring_flate_id"))))
+            .select("doc_id", "flate_id", F.col("pt_objtype").alias("island_objtype"),
+                    "ring_doc_id", F.col("ring_flate_id").alias("water_flate_id"),
+                    F.col("ring_objtype").alias("water_objtype")))
 
     if run_tiles:
         # S9b: raster<->vector join — tiles containing >=1 way node

@@ -188,6 +188,14 @@ def _gen_sosi_fragment(rng, ce, cn, err_rate=0.01) -> tuple[str, tuple]:
                               int(rng.integers(6, 10)))
         r2, next_id, _ = _split_ring_into_curves(rng, hn, he, next_id, buf, edge)
         hole_refs.append("( " + " ".join(r2) + " )")
+        # sometimes the island is itself a land FLATE referencing the
+        # SAME hole curves (island-in-lake containment, SURVEY.md §2.12)
+        if rng.random() < 0.5:
+            hip = _interior_point(hn, he, rng)
+            if hip is not None:
+                flate_jobs.append((next_id, "Skog", " ".join(r2),
+                                   hip[0], hip[1]))
+                next_id += 1
     ip = _interior_point(n, e, rng)
     if ip is not None:
         ref_str = " ".join(refs + hole_refs)
