@@ -174,11 +174,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rollup_counts"] = rollup_counts
 
     def collect_sorted_list(spark, sf):  # op 23
+        # Output is the CSV serialization of the ordered list — complex
+        # columns are not hashable by the driver canonicalizer, and the
+        # scalar form makes this a full oracle pass (string_agg mirror).
         _tune(spark)
         li = _t(spark, sf, "lineitem")
         return (li.where(F.col("l_orderkey") < 200)
                 .groupBy("l_orderkey")
-                .agg(F.sort_array(F.collect_list("l_linenumber")).alias("lines"))
+                .agg(F.array_join(
+                    F.transform(F.sort_array(F.collect_list("l_linenumber")),
+                                lambda x: x.cast("string")),
+                    ",").alias("lines"))
                 .orderBy("l_orderkey"))
     q["collect_sorted_list"] = collect_sorted_list
 
@@ -472,14 +478,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ring_assembly"] = ring_assembly
 
     def tagged_ways(spark, sf):
+        # tags map serialized to a key-sorted "k=v;k=v" scalar — the
+        # driver canonicalizer sorts/hashes values, so every output
+        # column must be hashable (maps/arrays are not).
         out = _geo_outputs(spark, sf)
-        return out["ways"].select("doc_id", "way_id", "objtype",
-                                  "tags", "n_nodes", "closed")
+        return out["ways"].select(
+            "doc_id", "way_id", "objtype",
+            F.array_join(
+                F.transform(F.array_sort(F.map_entries("tags")),
+                            lambda e: F.concat_ws("=", e["key"], e["value"])),
+                ";").alias("tags_kv"),
+            "n_nodes", "closed")
     q["tagged_ways"] = tagged_ways
 
     def multipolygon_relations(spark, sf):
-        out = _geo_outputs(spark, sf)
-        return out["relations"]
+        # members array<struct> serialized to canonical JSON (order is
+        # ring order, already deterministic) — scalar columns only.
+        r = _geo_outputs(spark, sf)["relations"]
+        return r.select(
+            "rel_id", "doc_id", "span_idx", "flate_id",
+            F.to_json("members").alias("members_json"),
+            F.array_join(
+                F.transform(F.array_sort(F.map_entries("tags")),
+                            lambda e: F.concat_ws("=", e["key"], e["value"])),
+                ";").alias("tags_kv"),
+            "rel_type")
     q["multipolygon_relations"] = multipolygon_relations
 
     def pip_membership(spark, sf):
@@ -498,8 +521,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tile_join"] = tile_join
 
     def span_echo(spark, sf):
+        # span-sequence invariant surface serialized to JSON (array of
+        # structs is unhashable for the driver canonicalizer); the JSON
+        # preserves (offset, kind, text, media_ref) order exactly.
         out = _geo_outputs(spark, sf)
-        return out["echo"]
+        return out["echo"].select(
+            "doc_id", F.to_json("spans_sorted").alias("spans_json"))
     q["span_echo"] = span_echo
 
     def integrity_issues(spark, sf):
@@ -569,7 +596,9 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
 
     sql["collect_sorted_list"] = """
-        SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines
+        SELECT l_orderkey,
+               string_agg(CAST(l_linenumber AS VARCHAR), ','
+                          ORDER BY l_linenumber) AS lines
         FROM lineitem WHERE l_orderkey < 200
         GROUP BY l_orderkey ORDER BY l_orderkey"""
 
