@@ -749,10 +749,14 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp"""
 
     sql["dedup_token_jaccard"] = r"""
-        WITH tok AS (
+        WITH tok_all AS (
           SELECT doc_id, source, unnest(list_distinct(
                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS w
           FROM documents),
+        dfc AS (SELECT source, w FROM tok_all GROUP BY source, w
+                HAVING count(*) <= 1000),
+        tok AS (SELECT tok_all.* FROM tok_all
+                JOIN dfc ON tok_all.source = dfc.source AND tok_all.w = dfc.w),
         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
         inter AS (
           SELECT ta.doc_id AS a, tb.doc_id AS b, count(*) AS i

@@ -48,7 +48,7 @@ def main() -> int:
     from topo2osm_spark.plans.pipeline import run_pipeline
     from topo2osm_spark.plans.session import build_session
     from topo2osm_spark.sources.fixtures import documents_df
-    from topo2osm_spark.sources.warehouse import Warehouse
+    from topo2osm_spark.sources.warehouse import Warehouse, fingerprint
 
     spark = build_session("topo2osm-convert", master=args.master,
                           shuffle_partitions=args.shuffle_partitions)
@@ -57,13 +57,29 @@ def main() -> int:
     t0 = time.monotonic()
     if args.input:
         docs = spark.read.parquet(args.input)
+        # input identity = path + file listing with sizes+mtimes (cheap
+        # content signature): --resume against the same --out but a
+        # DIFFERENT input must recompute, not reuse stale checkpoints.
+        sig_parts = []
+        if os.path.isdir(args.input):
+            for fn in sorted(os.listdir(args.input)):
+                if fn.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(args.input, fn))
+                sig_parts.append(f"{fn}:{st.st_size}:{int(st.st_mtime)}")
+        else:
+            st = os.stat(args.input)
+            sig_parts.append(f"{os.path.basename(args.input)}:{st.st_size}:{int(st.st_mtime)}")
+        input_fp = fingerprint("path", args.input, *sig_parts)
     else:
         parts = args.partitions or max(
             8, min(spark.sparkContext.defaultParallelism, args.n_docs // 500))
         docs = documents_df(spark, args.n_docs, seed=42,
                             max_sosi=args.max_sosi, partitions=parts)
+        input_fp = fingerprint("synth", args.n_docs, 42, args.max_sosi)
     wh = None if args.no_checkpoint else Warehouse(spark, args.out)
-    out = run_pipeline(spark, docs, warehouse=wh, resume=args.resume)
+    out = run_pipeline(spark, docs, warehouse=wh, resume=args.resume,
+                       input_fp=input_fp)
 
     stage_secs: dict[str, float] = {}
     n_docs = args.n_docs

@@ -25,6 +25,27 @@ def test_exact_dedup_finds_planted_dups(spark):
     assert out[0]["n_dups"] == 2 and out[0]["keep_id"] == 1
 
 
+def test_token_jaccard_df_cap_drops_stop_tokens(spark):
+    """A stop token shared by every doc in a cohort must not generate
+    quadratic pairs: with max_df below the cohort size, docs that only
+    share the stop token produce NO pair, while genuinely similar docs
+    still match on their rare tokens."""
+    from topo2osm_spark.operators.dedup import token_jaccard_pairs
+    rows = [(i, "c", f"the unique{i} words{i} here{i}") for i in range(20)]
+    rows += [(100, "c", "rare alpha beta gamma the"),
+             (101, "c", "rare alpha beta gamma the")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r["a"], r["b"]) for r in token_jaccard_pairs(
+        df, cohort_col="source", threshold=0.5, max_df=10).collect()}
+    # 'the' (df=22 > 10) is dropped -> the 20 filler docs pair with nobody
+    assert out == {(100, 101)}
+    # without the cap, 'the' alone is below threshold, so same pairs but
+    # the join had to consider all C(22,2) doc pairs sharing 'the'
+    uncapped = {(r["a"], r["b"]) for r in token_jaccard_pairs(
+        df, cohort_col="source", threshold=0.5, max_df=10**9).collect()}
+    assert uncapped == {(100, 101)}
+
+
 def test_minhash_detects_near_dups(spark):
     from topo2osm_spark.operators.dedup import minhash_lsh_dedup
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4

@@ -25,3 +25,16 @@ def test_no_rdd_usage():
         if re.search(r"\.rdd\b|sparkContext\.parallelize", src):
             offenders.append(str(py))
     assert not offenders, f"RDD API used in {offenders}"
+
+
+def test_no_driver_side_collect_in_operators():
+    """Operators must stay distributed: no .collect()/.toPandas() in
+    the package hot paths. Scalar one-row aggregates via .first() are
+    allowed (e.g. snap max-lat derivation) — they move 8 bytes, not
+    data."""
+    offenders = []
+    for py in PKG.rglob("*.py"):
+        src = py.read_text()
+        if re.search(r"\.collect\(|\.toPandas\(", src):
+            offenders.append(str(py))
+    assert not offenders, f"driver-side collect found in {offenders}"

@@ -183,3 +183,25 @@ def test_relations_have_outer_and_inner(out):
 def test_integrity_report_finds_seeded_errors(out):
     issues = {r["issue"] for r in out["integrity"]}
     assert "unused_curve" in issues
+
+
+def test_no_consecutive_duplicate_node_refs(out):
+    """Adjacent way vertices that quantize/snap to one node must not
+    emit repeated <nd> refs (invalid OSM geometry); closed rings keep
+    first == last."""
+    for w in out["ways"]:
+        ids = w["node_ids"]
+        assert all(ids[i] != ids[i - 1] for i in range(1, len(ids))), \
+            f"consecutive duplicate node in way {w['way_id']}"
+
+
+def test_entity_ids_are_63_bit_non_negative(out):
+    """functions/ids.py contract: every engine id is a non-negative
+    63-bit content hash, so the OSM export's negation is bijective."""
+    for n in out["nodes"]:
+        assert n["node_id"] >= 0
+    for w in out["ways"]:
+        assert w["way_id"] >= 0
+    for r in out["relations"]:
+        assert r["rel_id"] >= 0
+        assert all(m["way_id"] >= 0 for m in r["members"])

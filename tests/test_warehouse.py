@@ -49,6 +49,67 @@ def test_lineage_recorded(spark, tmp_path):
     assert len(man["partitions"]) >= 1
 
 
+def test_input_fp_invalidates_resume(spark, tmp_path):
+    """ADVICE r1: a --resume run against the same warehouse but a
+    DIFFERENT input must recompute every stage, not return stale
+    checkpoints. input_fp is the fingerprint-chain root."""
+    from topo2osm_spark.plans.pipeline import run_pipeline
+    from topo2osm_spark.schema import DOCUMENTS
+    from topo2osm_spark.sources import fixtures
+
+    wh = Warehouse(spark, str(tmp_path / "whi"))
+    docs_a = spark.createDataFrame(
+        fixtures.generate_documents(4, n_municipalities=2, seed=1).to_pylist(),
+        DOCUMENTS)
+    docs_b = spark.createDataFrame(
+        fixtures.generate_documents(8, n_municipalities=2, seed=2).to_pylist(),
+        DOCUMENTS)
+
+    out_a = run_pipeline(spark, docs_a, warehouse=wh, run_pip=False,
+                         run_tiles=False, input_fp="corpus-a")
+    n_ways_a = out_a["ways"].count()
+    # same warehouse, different input + input_fp -> recompute, new rows
+    out_b = run_pipeline(spark, docs_b, warehouse=wh, run_pip=False,
+                         run_tiles=False, input_fp="corpus-b")
+    n_ways_b = out_b["ways"].count()
+    # stale checkpoints would reproduce corpus-a's way count exactly
+    assert n_ways_b != n_ways_a
+    # and the checkpointed 'ways'-feeding stages now reflect corpus-b:
+    # re-running with corpus-b's fp resumes (no growth in lineage)
+    rows_before = wh.lineage().count()
+    run_pipeline(spark, docs_b, warehouse=wh, run_pip=False,
+                 run_tiles=False, input_fp="corpus-b")["ways"].count()
+    assert wh.lineage().count() == rows_before
+
+
+def test_iceberg_write_path_duck_typed(spark, tmp_path):
+    """The production Iceberg commit path, driven through a duck-typed
+    DataFrameWriterV2 recorder (no iceberg jar in the sandbox)."""
+    wh = Warehouse(spark, str(tmp_path / "whice"), iceberg_catalog="lake")
+
+    calls = []
+
+    class FakeWriter:
+        def using(self, fmt):
+            calls.append(("using", fmt))
+            return self
+
+        def createOrReplace(self):
+            calls.append(("createOrReplace",))
+
+    class FakeDF:
+        def writeTo(self, table):
+            calls.append(("writeTo", table))
+            return FakeWriter()
+
+    table = wh.iceberg_write(FakeDF(), "stage1")
+    assert table == f"lake.{wh.namespace}.stage1"
+    assert calls == [("writeTo", table), ("using", "iceberg"),
+                     ("createOrReplace",)]
+    # without the runtime on the classpath the parquet emulation is used
+    assert not wh._use_iceberg()
+
+
 def test_pipeline_resume_skips_recompute(spark, tmp_path):
     """Kill-and-resume: a second run with the same inputs must load
     every checkpointed stage from the warehouse (SURVEY.md §5.2.4)."""

@@ -7,7 +7,8 @@ duplicate-node matching; mount empty, SURVEY.md §0]. Distributed
 re-expression:
 
 op 12 (exact dedup) needs NO join at all: the node id is a pure
-function of the quantized coordinate (`xxhash64(qlat, qlon)`), so
+function of the quantized coordinate (63-bit `content_id(qlat,
+qlon)`, functions/ids.py), so
 every way computes its node ids locally (map-side); the `nodes`
 table is a groupBy over the quantized key. The reference's implicit
 hash-dict becomes a hash *function* — zero shuffle on the way side.
@@ -35,6 +36,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from topo2osm_spark.functions.ids import content_id
+
 QUANT = 7  # decimals — the reference's node-coordinate rounding contract
 
 # snap cell resolution: Web-Mercator cell ground size at res 22 is
@@ -45,11 +48,11 @@ SNAP_RES = 22
 
 def quantize(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
     """Add qlat/qlon (1e-7 deg int grid) and the content-addressed
-    node_id = xxhash64(qlat, qlon). Pure map-side — no shuffle."""
+    node_id = content_id(qlat, qlon). Pure map-side — no shuffle."""
     return (df
             .withColumn("qlat", F.round(F.col(lat_col) * F.lit(10.0 ** QUANT)).cast("long"))
             .withColumn("qlon", F.round(F.col(lon_col) * F.lit(10.0 ** QUANT)).cast("long"))
-            .withColumn("node_id", F.xxhash64("qlat", "qlon")))
+            .withColumn("node_id", content_id("qlat", "qlon")))
 
 
 def dedup_nodes(point_df: DataFrame) -> DataFrame:
@@ -67,7 +70,8 @@ _M_PER_DEG = 111320.0
 
 
 def snap_mapping(nodes: DataFrame, tol_m: float = 0.5,
-                 iterations: int = 2, max_abs_lat: float = 71.5) -> DataFrame:
+                 iterations: int = 2,
+                 max_abs_lat: float | None = None) -> DataFrame:
     """op 13: (node_id, lat, lon) -> (node_id, canon_id) for nodes that
     snap to a lower-id node within tol_m. Identity rows are omitted.
 
@@ -85,12 +89,18 @@ def snap_mapping(nodes: DataFrame, tol_m: float = 0.5,
        path compression over the (tiny) non-identity mapping — resolves
        chains that straddle bins.
 
-    g_lon uses cos(max_abs_lat) (default covers all of Norway) so the
-    bin guarantee holds at the highest latitude present; lower
+    g_lon uses cos(max_abs_lat) so the bin guarantee holds at the
+    highest latitude PRESENT IN THE DATA: max_abs_lat=None (default)
+    derives it with one scalar max-agg over the (persisted) node table
+    — a metadata-cheap job, never a data collect — so Svalbard-latitude
+    input can no longer silently miss within-tolerance merges. Lower
     latitudes just get slightly over-wide bins (more candidates, same
     answer). Dense-coast hot bins stay small because g is ~2 m.
     """
     import math
+    if max_abs_lat is None:
+        row = nodes.agg(F.max(F.abs(F.col("lat"))).alias("m")).first()
+        max_abs_lat = min(float(row["m"] or 0.0) + 0.01, 89.0)
     g_lat = 4.0 * tol_m / _M_PER_DEG
     g_lon = 4.0 * tol_m / (_M_PER_DEG * max(math.cos(math.radians(max_abs_lat)), 0.05))
 

@@ -91,24 +91,38 @@ def point_cell_ladder(lat: pd.Series, lon: pd.Series) -> pd.Series:
     return pd.Series(list(ladder))
 
 
+REFINE_SALT = 16  # candidate chunks per ring (bounds the refine row size)
+
+
 def pip_join(points: DataFrame, rings: DataFrame,
-             point_key_cols: list[str], ring_key_cols: list[str]) -> DataFrame:
+             point_key_cols: list[str], ring_key_cols: list[str],
+             refine_salt: int = REFINE_SALT) -> DataFrame:
     """Candidate generation (cell equi-join) + exact ray-cast refine.
 
     points: (<point_keys>, lat, lon); rings: (<ring_keys>, lats, lons).
     Returns (<point_keys>, <ring_keys>) rows where the point is inside.
+
+    The refine key is SALTED: a hot ring (sea polygon / fjord coastline
+    matching millions of candidate points) would otherwise concentrate
+    its whole candidate set into one collect_list row -> one straggler
+    task / OOM. pmod(xxhash64(point keys), refine_salt) splits a ring's
+    candidates into bounded chunks; the ray-cast is per-point
+    independent, so chunk results union cleanly. Cost: ring coords
+    replicate per non-empty chunk (<= refine_salt copies).
     """
     cover = ring_cover_cells(rings, ring_key_cols)
     pts = (points
            .withColumn("cell", F.explode(point_cell_ladder("lat", "lon")))
            .select(*point_key_cols, "lat", "lon", "cell"))
-    cand = pts.join(cover, "cell").drop("cell").dropDuplicates(
-        [*point_key_cols, *ring_key_cols])
-    # refine: one hash-agg row per ring (all candidate points collected),
-    # join ring coords once, then batched mapInPandas ray-casting — no
-    # per-group Python round-trip (same pattern as snap/assembly)
+    cand = (pts.join(cover, "cell").drop("cell")
+            .dropDuplicates([*point_key_cols, *ring_key_cols])
+            .withColumn("chunk", F.pmod(
+                F.xxhash64(*point_key_cols), F.lit(max(1, refine_salt)))))
+    # refine: one hash-agg row per (ring, chunk), join ring coords, then
+    # batched mapInPandas ray-casting — no per-group Python round-trip
+    # (same pattern as snap/assembly)
     ring_geo = rings.select(*ring_key_cols, "lats", "lons")
-    grouped = (cand.groupBy(*ring_key_cols)
+    grouped = (cand.groupBy(*ring_key_cols, "chunk")
                .agg(F.collect_list(F.struct(*point_key_cols, "lat", "lon"))
                      .alias("cand_pts"))
                .join(ring_geo, ring_key_cols))

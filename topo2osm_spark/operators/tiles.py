@@ -9,9 +9,10 @@ a pure equi-join:
     vector side: way cover cell at res R  ->  ancestor at z
 
 Tile zooms vary per media span (z in 10..14 here), so the vector side
-emits one ancestor key per DISTINCT zoom present — a bounded explode
-(|zooms| is small) computed from an aggregated zoom list, not a
-hardcoded range. Both sides then meet on (cell) int64 keys; AQE
+emits one ancestor key per DISTINCT zoom present — a broadcast
+cross-join against the lazily-computed distinct-zoom set (bounded by
+VECTOR_RES+1 rows, no driver-side collect). Both sides meet on (cell)
+int64 keys; AQE
 handles hot tiles (dense coastal cells), and dropDuplicates before
 the join keeps the fan-in bounded.
 """
@@ -67,14 +68,14 @@ def tile_vector_join(media: DataFrame, vector_cells: DataFrame,
     the global raster<->vector alignment (any way touching the tile);
     at scale that output is quadratic in dense areas — callers must
     aggregate (e.g. counts per tile) rather than materialize pairs."""
-    zooms = [r.z for r in media.select("z").distinct().collect()]
-    if not zooms:
-        return media.sparkSession.createDataFrame(
-            [], "doc_id string, media_ref string, cell_id long, way_id long")
     keys = ["doc_id", "way_id", "cell"] if per_document else ["way_id", "cell"]
     vc = vector_cells.dropDuplicates(keys)
-    # one ancestor key per distinct zoom actually present (bounded explode)
-    vc = (vc.withColumn("z", F.explode(F.array(*[F.lit(z) for z in sorted(zooms)])))
+    # one ancestor key per distinct zoom actually present — derived
+    # LAZILY from the media side (broadcast cross-join on the tiny
+    # distinct-zoom set; z is bounded by VECTOR_RES so |zdf| <= 15).
+    # No driver-side collect: the zoom scan folds into the same DAG.
+    zdf = media.select("z").distinct()
+    vc = (vc.crossJoin(F.broadcast(zdf))
             .withColumn("anc", parent_cell_udf("cell", "z")))
     join_on = ["doc_id", "z", "anc"] if per_document else ["z", "anc"]
     joined = media.select("doc_id", "media_ref", "z",

@@ -15,7 +15,8 @@ DataFrame DAG:
   S9 PIP membership + raster<->vector tile join — cell equi-joins
   S10 outputs: nodes/ways/relations/tile_assignments/echo/metrics
 
-Every output id is content-addressed (xxhash64 of stable identity),
+Every output id is content-addressed (63-bit xxhash64 of stable
+identity, functions/ids.py),
 never an order-dependent counter — the distributed replacement for
 the reference's sequential negative ids (SURVEY.md §2 op 27).
 
@@ -28,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from topo2osm_spark.functions.ids import content_id
 from topo2osm_spark.operators import assembly, nodes as nodeops, pip, tags, tiles
 from topo2osm_spark.operators.reproject import reproject
 from topo2osm_spark.sources import sosi
@@ -63,8 +65,19 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
                  warehouse: Warehouse | None = None, resume: bool = True,
                  run_pip: bool = True, run_tiles: bool = True,
                  persist: bool = True,
-                 persist_level: str = "DISK_ONLY") -> dict:
+                 persist_level: str = "DISK_ONLY",
+                 input_fp: str | None = None) -> dict:
     """Full conversion; returns a dict of output DataFrames.
+
+    input_fp: identity of the INPUT dataset, folded into the root of
+    every stage fingerprint — resume against the same warehouse with a
+    different input (path, corpus params, row count) recomputes instead
+    of silently returning the previous input's checkpoints. Callers
+    with file-backed input pass a content signature (jobs/convert.py
+    hashes the file listing + sizes); synthesized corpora pass their
+    generator params. None keeps the params-only fingerprint (callers
+    that manage input identity themselves, e.g. tests on a fixed
+    in-memory corpus).
 
     persist=True keeps the multiply-consumed intermediates (parsed
     geometry, rings, way nodes, snap map) — they feed 2-4 downstream
@@ -80,7 +93,10 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     """
     from pyspark import StorageLevel
     level = getattr(StorageLevel, persist_level)
-    ck_seq = []
+    # the input fingerprint is the ROOT of the stage-fingerprint chain:
+    # every ck() below folds ck_seq, so a changed input invalidates all
+    # downstream checkpoints transitively.
+    ck_seq = [f"input:{input_fp}"] if input_fp is not None else []
 
     def ck(df: DataFrame, name: str, *fp_parts) -> DataFrame:
         if warehouse is not None:
@@ -104,14 +120,14 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     # S4: ring assembly
     rings = ck(assembly.assemble_rings(flates, curves), "rings")
     rings = rings.withColumn(
-        "way_id", F.xxhash64("doc_id", "span_idx", F.lit("F"), "flate_id", "ring_idx"))
+        "way_id", content_id("doc_id", "span_idx", F.lit("F"), "flate_id", "ring_idx"))
 
     # standalone curve ways: curves whose objtype is tagged as a KURVE way
     curve_tags = tags.tag_df(spark).where(
         (F.col("geom_kind") == "KURVE") & F.col("emit"))
     curve_ways = (curves.join(
         F.broadcast(curve_tags.select("objtype")), "objtype", "left_semi")
-        .withColumn("way_id", F.xxhash64("doc_id", "span_idx", F.lit("K"), "obj_id")))
+        .withColumn("way_id", content_id("doc_id", "span_idx", F.lit("K"), "obj_id")))
 
     # unified way geometry (FLATE rings + tagged standalone curves)
     ring_geoms = rings.select(
@@ -137,21 +153,30 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     punkt_points = punkts.select(
         F.element_at("lats", 1).alias("lat"), F.element_at("lons", 1).alias("lon"))
     all_points = way_nodes.select("lat", "lon").unionByName(punkt_points)
-    nodes_raw = nodeops.dedup_nodes(all_points)
+    # persisted: 3 consumers (snap max-lat agg, snap_map, nodes_out)
+    nodes_raw = ck(nodeops.dedup_nodes(all_points), "nodes_raw")
 
     # S6: kNN tolerance snap
     snap_map = ck(nodeops.snap_mapping(nodes_raw, tol_m=snap_tol_m),
                   "snap_map", snap_tol_m)
     nodes_out = ck(nodeops.snap_nodes_table(nodes_raw, snap_map), "nodes")
 
-    # S7: re-collect way node lists in position order through the snap map
+    # S7: re-collect way node lists in position order through the snap
+    # map, then drop CONSECUTIVE duplicate ids: two adjacent vertices
+    # that quantize/snap to the same node would emit repeated <nd> refs
+    # (invalid OSM way geometry). First==last on closed rings survives
+    # (they are never adjacent). JVM HOF filter — no Python.
     wn = nodeops.apply_snap(way_nodes.select("way_id", "pos", "node_id"),
                             snap_map)
+    nids = F.transform("pn", lambda x: x["node_id"])
     way_node_lists = (wn.groupBy("way_id")
                         .agg(F.array_sort(F.collect_list(F.struct("pos", "node_id")))
                               .alias("pn"))
                         .select("way_id",
-                                F.transform("pn", lambda x: x["node_id"]).alias("node_ids")))
+                                F.filter(nids, lambda x, i:
+                                         (i == F.lit(0))
+                                         | (x != F.element_at(nids, i)))
+                                 .alias("node_ids")))
 
     # S8: broadcast tag join on way metadata
     way_meta = way_geoms.drop("lats", "lons")
@@ -172,7 +197,7 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
              .where(F.col("has_holes") == 1))
     relations = (tags.join_tags(
         holed.withColumn("geom_kind", F.lit("FLATE")), spark)
-        .withColumn("rel_id", F.xxhash64("doc_id", "span_idx", F.lit("R"), "flate_id"))
+        .withColumn("rel_id", content_id("doc_id", "span_idx", F.lit("R"), "flate_id"))
         .select("rel_id", "doc_id", "span_idx", "flate_id",
                 F.transform("members_raw",
                             lambda m: F.struct(m["role"].alias("role"),
@@ -193,7 +218,7 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     if run_pip:
         # S9a: FLATE interior-point membership (op 14)
         pts = (flates.where(F.size("lats") > 0)
-               .withColumn("pt_uid", F.xxhash64("doc_id", "span_idx", F.lit("P"), "obj_id"))
+               .withColumn("pt_uid", content_id("doc_id", "span_idx", F.lit("P"), "obj_id"))
                .select("pt_uid", F.col("doc_id").alias("pt_doc"),
                        F.col("obj_id").alias("pt_flate"),
                        F.element_at("lats", 1).alias("lat"),

@@ -10,7 +10,11 @@ file, which is how a distributed engine shards a 10^12-entity export
 per municipality, the analogue here is one shard per partition).
 
 Ids are negated on write (OSM convention for not-yet-uploaded
-entities) — the engine's content-addressed ids are positive int64.
+entities). Engine ids are 63-bit NON-NEGATIVE content hashes
+(functions/ids.py clears the sign bit at the source), so
+`export_id = -engine_id` is injective by construction — no +k/-k
+folding is possible. `_neg` still masks to the low 63 bits as a
+defensive invariant for ids produced outside the engine.
 """
 
 from __future__ import annotations
@@ -23,9 +27,16 @@ from pyspark.sql import DataFrame, functions as F, types as T
 _OUT = T.StructType([T.StructField("xml", T.StringType())])
 _HEADER = "<?xml version='1.0' encoding='UTF-8'?>\n<osm version='0.6' upload='false' generator='topo2osm_spark'>"
 
+_LOW63 = (1 << 63) - 1
+
 
 def _neg(v: int) -> int:
-    return -abs(int(v))
+    """Engine id (non-negative 63-bit, functions/ids.py) -> negative
+    export id. Injective on the engine id domain [0, 2^63); the mask
+    is a defensive no-op there (id 0 maps to the -2^63 sentinel, which
+    content_id can emit only for the all-zero hash)."""
+    u = int(v) & _LOW63
+    return -(u if u != 0 else _LOW63 + 1)
 
 
 def _tags_xml(tags) -> str:

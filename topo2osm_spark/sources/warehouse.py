@@ -25,7 +25,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_MANIFEST.json"
 
@@ -48,10 +48,33 @@ def fingerprint(*parts: str) -> str:
 
 
 class Warehouse:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 iceberg_catalog: str | None = None):
+        """iceberg_catalog: when set AND the Iceberg runtime is on the
+        classpath, stages materialize through `df.writeTo()` against
+        `<catalog>.<root-basename>.<stage>` tables (real snapshot
+        commits) instead of the parquet+manifest emulation. The sandbox
+        has no iceberg jar, so the path is exercised by a duck-typed
+        writer test (test_warehouse.py)."""
         self.spark = spark
         self.root = root
+        self.iceberg_catalog = iceberg_catalog
+        self.namespace = os.path.basename(root.rstrip("/")) or "warehouse"
         os.makedirs(root, exist_ok=True)
+
+    def _use_iceberg(self) -> bool:
+        return (self.iceberg_catalog is not None
+                and _iceberg_available(self.spark))
+
+    def iceberg_write(self, df, name: str) -> str:
+        """Production Iceberg commit: createOrReplace is a single atomic
+        snapshot swap (the Iceberg equivalent of our manifest rename).
+        Returns the fully-qualified table name. df only needs the
+        DataFrameWriterV2 surface (`writeTo`), so tests drive this with
+        a duck-typed recorder."""
+        table = f"{self.iceberg_catalog}.{self.namespace}.{name}"
+        df.writeTo(table).using("iceberg").createOrReplace()
+        return table
 
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -70,21 +93,43 @@ class Warehouse:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._path(name), "data"))
 
+    @staticmethod
+    def _footer_counts(data_dir: str) -> list[tuple[int, int]]:
+        """Per-partition row counts from parquet FOOTERS — metadata-only
+        (a few KB per file), never a second data scan. One part file ==
+        one write partition; the partition id is parsed from the
+        part-NNNNN file name (the writer's task id). This is the same
+        trick Iceberg manifests use: counts come from file metadata
+        collected at commit time, not from re-reading data."""
+        import re
+        import pyarrow.parquet as pq
+        out = []
+        for fn in sorted(os.listdir(data_dir)):
+            if not fn.endswith(".parquet") or fn.startswith("_"):
+                continue
+            m = re.match(r"part-(\d+)", fn)
+            pid = int(m.group(1)) if m else len(out)
+            out.append((pid, pq.ParquetFile(
+                os.path.join(data_dir, fn)).metadata.num_rows))
+        return out
+
     def write(self, df: DataFrame, name: str, fp: str) -> DataFrame:
-        """Materialize df -> parquet snapshot + manifest + lineage."""
+        """Materialize df -> parquet snapshot + manifest + lineage.
+        Exactly ONE scan of df (the write itself); per-partition lineage
+        comes from the written files' parquet footers."""
         t0 = time.monotonic()
+        if self._use_iceberg():
+            table = self.iceberg_write(df, name)
+            return self.spark.read.table(table)
         path = self._path(name)
         data = os.path.join(path, "data")
         df.write.mode("overwrite").parquet(data)
-        out = self.spark.read.parquet(data)
-        per_part = (out.groupBy(F.spark_partition_id().alias("partition_id"))
-                       .agg(F.count(F.lit(1)).alias("rows"))
-                       .collect())
+        per_part = self._footer_counts(data)
         wall_ms = int((time.monotonic() - t0) * 1000)
         man = {
             "fingerprint": fp,
-            "rows": int(sum(r["rows"] for r in per_part)),
-            "partitions": [[int(r["partition_id"]), int(r["rows"])] for r in per_part],
+            "rows": int(sum(n for _, n in per_part)),
+            "partitions": [[pid, n] for pid, n in per_part],
             "wall_ms": wall_ms,
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
@@ -93,11 +138,10 @@ class Warehouse:
             json.dump(man, f)
         os.replace(tmp, os.path.join(path, MANIFEST))  # atomic commit
         lineage = self.spark.createDataFrame(
-            [(name, int(r["partition_id"]), int(r["rows"]), fp, wall_ms)
-             for r in per_part],
+            [(name, pid, n, fp, wall_ms) for pid, n in per_part],
             "stage string, partition_id int, rows long, fingerprint string, wall_ms long")
         lineage.write.mode("append").parquet(os.path.join(self.root, "_lineage"))
-        return out
+        return self.spark.read.parquet(data)
 
     def stage(self, df: DataFrame, name: str, fp: str,
               resume: bool = True) -> tuple[DataFrame, bool]:
