@@ -185,6 +185,42 @@ def test_integrity_report_finds_seeded_errors(out):
     assert "unused_curve" in issues
 
 
+def test_kp_junction_nodes_survive(out, pipeline_out):
+    """...KP-marked junction coordinates must exist in the node table
+    after quantize+snap (SURVEY.md §2 op 5 KP consumption)."""
+    n_kp = pipeline_out["objects"].where(F.size("kp") > 0).count()
+    assert n_kp > 0, "corpus seeds KP markers on coastline chains"
+    assert not any(r["issue"] == "kp_node_missing" for r in out["integrity"])
+
+
+def test_coastline_direction_contract(out):
+    """N50 Kystkontur: water on the right -> closed island rings run
+    CCW. The generator emits half of them CW on purpose; the pipeline
+    must repair the direction (assembly.orient_closed_curve_ways)."""
+    nodemap = {n["node_id"]: (n["lat"], n["lon"]) for n in out["nodes"]}
+    closed_coast = [w for w in out["ways"]
+                    if w["objtype"] == "Kystkontur" and w["closed"]
+                    and w["geom_kind"] == "KURVE" and w["n_parts"] == 1]
+    assert closed_coast, "corpus seeds closed island coastlines"
+    for w in closed_coast:
+        pts = [nodemap[i] for i in w["node_ids"]]
+        lats = np.array([p[0] for p in pts])
+        lons = np.array([p[1] for p in pts])
+        assert geom.shoelace_area(lats, lons) > 0, \
+            f"way {w['way_id']} runs clockwise (water-on-left)"
+
+
+def test_contours_carry_ele(out):
+    """Høydekurve ways get ele=<NØH height> (SURVEY.md §2.12)."""
+    contours = [w for w in out["ways"] if w["objtype"] == "Høydekurve"]
+    assert contours, "corpus seeds NØH contours"
+    for w in contours:
+        assert w["tags"].get("contour") == "elevation"
+        ele = w["tags"].get("ele")
+        assert ele is not None and 100 <= float(ele) <= 1500
+        assert "." not in ele  # integral heights render as integers
+
+
 def test_no_consecutive_duplicate_node_refs(out):
     """Adjacent way vertices that quantize/snap to one node must not
     emit repeated <nd> refs (invalid OSM geometry); closed rings keep

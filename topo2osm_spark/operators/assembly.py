@@ -156,6 +156,50 @@ def assemble_rings(flates: DataFrame, curves: DataFrame) -> DataFrame:
     return grouped.mapInPandas(_assemble_batches, ASSEMBLED_RINGS)
 
 
+# objtypes whose closed standalone ways carry a direction contract:
+# N50 Kystkontur runs with WATER ON THE RIGHT, i.e. a closed island
+# ring (land inside) travels counter-clockwise (SURVEY.md §2.12).
+DIRECTED_CURVE_TYPES = ("Kystkontur",)
+
+
+def orient_closed_curve_ways(
+        curve_geoms: DataFrame,
+        objtypes: tuple[str, ...] = DIRECTED_CURVE_TYPES) -> DataFrame:
+    """Repair the coastline direction contract on CLOSED standalone
+    curve ways: if a closed ring of a directed objtype runs clockwise
+    (negative shoelace area), reverse its vertex order. Open chains
+    pass through untouched (their direction is the digitizing order —
+    the reference trusts it, and without network context there is
+    nothing to repair against).
+
+    Everything is JVM higher-order-function math (zip_with/aggregate
+    shoelace on the lat/lon arrays) — no Python round-trip. Also sets
+    the real `closed` flag for curve ways (first == last vertex)."""
+    n = F.size("lats")
+    closed = ((n >= 4)
+              & (F.get("lats", 0) == F.get("lats", n - 1))
+              & (F.get("lons", 0) == F.get("lons", n - 1)))
+
+    def _dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    # 2*area = sum(x_i*y_{i+1}) - sum(x_{i+1}*y_i), i = 1..n-1 (1-based)
+    area2 = (_dot(F.slice("lons", 1, n - 1), F.slice("lats", 2, n - 1))
+             - _dot(F.slice("lons", 2, n - 1), F.slice("lats", 1, n - 1)))
+    must_flip = (closed & F.col("objtype").isin(*objtypes) & (area2 < 0))
+    # materialize the flag BEFORE rewriting lats — otherwise the lons
+    # rewrite would re-evaluate the predicate over already-flipped lats
+    return (curve_geoms
+            .withColumn("closed", closed)
+            .withColumn("_flip", must_flip)
+            .withColumn("lats", F.when(F.col("_flip"), F.reverse("lats"))
+                                 .otherwise(F.col("lats")))
+            .withColumn("lons", F.when(F.col("_flip"), F.reverse("lons"))
+                                 .otherwise(F.col("lons")))
+            .drop("_flip"))
+
+
 def integrity_report(flates: DataFrame, curves: DataFrame) -> DataFrame:
     """op 18: orphan FLATE refs (left_anti) and unused curves
     (left_anti the other way) — the reference's warning printouts,

@@ -52,9 +52,14 @@ def _reproject_coords(coords: pd.Series, koordsys: pd.Series) -> pd.DataFrame:
 
 
 def reproject(parsed: DataFrame) -> DataFrame:
-    """PARSED_OBJECTS -> GEO_OBJECTS: adds parallel lats/lons arrays."""
+    """PARSED_OBJECTS -> GEO_OBJECTS: adds parallel lats/lons arrays
+    plus `height` — the first coordinate's NØH height in meters (null
+    for 2-column NØ rows). Contours carry one constant height per
+    curve (SURVEY.md §2.12 Høydekurve -> ele=*), so a scalar suffices;
+    extraction is pure Catalyst (F.get), no Python."""
     return (parsed
             .withColumn("_ll", _reproject_coords("coords", "koordsys"))
             .withColumn("lats", F.col("_ll.lats"))
             .withColumn("lons", F.col("_ll.lons"))
+            .withColumn("height", F.get(F.get("coords", 0), 2))
             .drop("_ll"))

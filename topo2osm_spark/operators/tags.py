@@ -70,3 +70,19 @@ def join_tags(df: DataFrame, spark: SparkSession, objtype_col: str = "objtype",
     return joined.withColumn(
         "tags", F.coalesce(F.col("tags"), F.create_map().cast("map<string,string>"))
     ).withColumn("emit", F.coalesce(F.col("emit"), F.lit(False)))
+
+
+def with_ele(df: DataFrame, objtype_col: str = "objtype",
+             height_col: str = "height") -> DataFrame:
+    """Add `ele=<height>` to contour (Høydekurve) tag maps from the
+    NØH height carried through reprojection (SURVEY.md §2.12). Integral
+    heights render without a decimal point (the OSM convention for
+    N50 contours); map_concat is safe — 'ele' is not in TAG_TABLE."""
+    h = F.col(height_col)
+    ele = F.when(h == F.floor(h), h.cast("long").cast("string")) \
+           .otherwise(h.cast("string"))
+    return df.withColumn(
+        "tags",
+        F.when((F.col(objtype_col) == "Høydekurve") & h.isNotNull(),
+               F.map_concat("tags", F.create_map(F.lit("ele"), ele)))
+         .otherwise(F.col("tags")))

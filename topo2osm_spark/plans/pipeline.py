@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from topo2osm_spark.functions.ids import content_id
-from topo2osm_spark.operators import assembly, nodes as nodeops, pip, tags, tiles
+from topo2osm_spark.operators import (assembly, nodes as nodeops, pip,
+                                      split as splitops, tags, tiles)
 from topo2osm_spark.operators.reproject import reproject
 from topo2osm_spark.sources import sosi
 from topo2osm_spark.sources.warehouse import Warehouse, fingerprint
@@ -66,7 +67,8 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
                  run_pip: bool = True, run_tiles: bool = True,
                  persist: bool = True,
                  persist_level: str = "DISK_ONLY",
-                 input_fp: str | None = None) -> dict:
+                 input_fp: str | None = None,
+                 max_way_nodes: int = splitops.MAX_WAY_NODES) -> dict:
     """Full conversion; returns a dict of output DataFrames.
 
     input_fp: identity of the INPUT dataset, folded into the root of
@@ -129,16 +131,20 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
         F.broadcast(curve_tags.select("objtype")), "objtype", "left_semi")
         .withColumn("way_id", content_id("doc_id", "span_idx", F.lit("K"), "obj_id")))
 
-    # unified way geometry (FLATE rings + tagged standalone curves)
+    # unified way geometry (FLATE rings + tagged standalone curves);
+    # curve ways get the real closed flag + the Kystkontur
+    # water-on-the-right orientation repair (assembly.py)
     ring_geoms = rings.select(
         "way_id", "doc_id", "span_idx", "objtype",
         F.lit("FLATE").alias("geom_kind"), "lats", "lons", "closed",
-        "is_hole", "ring_idx", "flate_id")
-    curve_geoms = curve_ways.select(
+        "is_hole", "ring_idx", "flate_id",
+        F.lit(None).cast("double").alias("height"))
+    curve_geoms = assembly.orient_closed_curve_ways(curve_ways.select(
         "way_id", "doc_id", "span_idx", "objtype",
         F.lit("KURVE").alias("geom_kind"), "lats", "lons",
         F.lit(False).alias("closed"), F.lit(False).alias("is_hole"),
-        F.lit(0).alias("ring_idx"), F.col("obj_id").alias("flate_id"))
+        F.lit(0).alias("ring_idx"), F.col("obj_id").alias("flate_id"),
+        "height"))
     way_geoms = ring_geoms.unionByName(curve_geoms)
 
     # S5: explode to way-nodes, quantize (content-addressed node ids)
@@ -178,11 +184,14 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
                                          | (x != F.element_at(nids, i)))
                                  .alias("node_ids")))
 
-    # S8: broadcast tag join on way metadata
+    # S8: broadcast tag join on way metadata (+ ele from NØH heights),
+    # then split >max_way_nodes ways into chained parts sharing their
+    # junction endpoint nodes (OSM 2000-node hard limit)
     way_meta = way_geoms.drop("lats", "lons")
-    tagged = tags.join_tags(way_meta, spark)
+    tagged = tags.with_ele(tags.join_tags(way_meta, spark))
     ways = (tagged.join(way_node_lists, "way_id")
                   .withColumn("n_nodes", F.size("node_ids")))
+    ways = splitops.split_long_ways(ways, max_way_nodes)
 
     # relations: multipolygon for every FLATE that has hole rings
     flate_rings = rings.select("doc_id", "span_idx", "flate_id", "objtype",
@@ -203,6 +212,33 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
                             lambda m: F.struct(m["role"].alias("role"),
                                                m["way_id"].alias("way_id"))).alias("members"),
                 "tags", F.lit("multipolygon").alias("rel_type")))
+    # way splitting propagates into relations: split members expand to
+    # their parts in place; split CLOSED rings not in any relation get
+    # a synthesized multipolygon carrying the area semantics.
+    split_map = splitops.split_mapping(ways)
+    synth_rels = splitops.synthesize_relations_for_split_rings(ways, relations)
+    relations = (splitops.expand_relation_members(relations, split_map)
+                 .unionByName(synth_rels))
+
+    # ...KP junction markers: every KP-marked coordinate must survive
+    # quantize+snap as a node in the output table (the reference uses
+    # junction points to stitch curve chains; here they are an
+    # integrity contract on the dedup/snap path).
+    kp_pts = (geo.where(F.size("kp") > 0)
+              .select("doc_id", "span_idx", "obj_id",
+                      F.explode("kp").alias("ki"), "lats", "lons")
+              .select("doc_id", "span_idx", "obj_id",
+                      F.get("lats", F.col("ki")).alias("lat"),
+                      F.get("lons", F.col("ki")).alias("lon"))
+              .where(F.col("lat").isNotNull()))
+    kp_snapped = nodeops.apply_snap(
+        nodeops.quantize(kp_pts).select("doc_id", "span_idx", "obj_id",
+                                        "node_id"),
+        snap_map)
+    kp_missing = (kp_snapped
+                  .join(nodes_out.select("node_id"), "node_id", "left_anti")
+                  .select(F.lit("kp_node_missing").alias("issue"),
+                          "doc_id", "span_idx", "obj_id"))
 
     out = {
         "spans": spans,
@@ -212,7 +248,8 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
         "ways": ways,
         "relations": relations,
         "echo": echo_spans(docs),
-        "integrity": assembly.integrity_report(flates, curves),
+        "integrity": assembly.integrity_report(flates, curves)
+                             .unionByName(kp_missing),
     }
 
     if run_pip:

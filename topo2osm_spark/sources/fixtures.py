@@ -294,6 +294,25 @@ def _gen_sosi_fragment(rng, ce, cn, err_rate=0.01) -> tuple[str, tuple]:
                    f"{_fmt_int(ce + rng.uniform(-500, 500))}")
         next_id += 1
 
+    # --- closed island coastline ring (direction-contract case) ---
+    # N50 Kystkontur runs with water on the RIGHT: a closed island ring
+    # must be CCW. Half are emitted CW — the pipeline must repair them.
+    # (Appended LAST in the rng draw order so earlier corpora are a
+    # strict prefix of the same stream.)
+    if rng.random() < 0.3:
+        icn = cn + rng.uniform(-6000, 6000)
+        ice = ce + rng.uniform(-6000, 6000)
+        isl_n, isl_e = _ring_points(rng, ice, icn,
+                                    float(rng.uniform(300, 800)),
+                                    int(rng.integers(8, 14)))
+        isl_n = np.concatenate([isl_n, isl_n[:1]])
+        isl_e = np.concatenate([isl_e, isl_e[:1]])
+        if rng.random() < 0.5:  # wrong direction on purpose
+            isl_n, isl_e = isl_n[::-1], isl_e[::-1]
+        _emit_curve(buf, next_id, "Kystkontur", isl_n, isl_e)
+        next_id += 1
+        all_n.append(isl_n); all_e.append(isl_e)
+
     for fid, ft, ref_str, ipn, ipe in flate_jobs:
         _emit_flate(buf, fid, ft, ref_str, ipn, ipe)
     buf.append(".SLUTT")
