@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from topo2osm_spark.functions.ids import content_id
 from topo2osm_spark.operators import (assembly, nodes as nodeops, pip,
                                       split as splitops, tags, tiles)
-from topo2osm_spark.operators.reproject import reproject
 from topo2osm_spark.sources import sosi
 from topo2osm_spark.sources.warehouse import Warehouse, fingerprint
 
@@ -111,9 +110,12 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
 
     spans = explode_spans(docs)
 
-    # S2+S3: tokenize sosi spans, reproject
-    parsed = sosi.tokenize_spans(spans.where(F.col("kind") == "sosi"))
-    geo = ck(reproject(parsed), "geo_objects", snap_tol_m)
+    # S2+S3 FUSED: tokenize + reproject in ONE Arrow pass — the coord
+    # arrays never round-trip through the JVM between parse and
+    # projection (BENCH/BASELINE.md r1 flagged the per-stage Python
+    # handshakes as the dominant non-scaling cost)
+    geo = ck(sosi.tokenize_project_spans(spans.where(F.col("kind") == "sosi")),
+             "geo_objects", snap_tol_m)
 
     curves = geo.where(F.col("obj_kind") == "KURVE")
     flates = geo.where(F.col("obj_kind") == "FLATE")
@@ -191,7 +193,9 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     tagged = tags.with_ele(tags.join_tags(way_meta, spark))
     ways = (tagged.join(way_node_lists, "way_id")
                   .withColumn("n_nodes", F.size("node_ids")))
-    ways = splitops.split_long_ways(ways, max_way_nodes)
+    # persisted: 3 consumers (ways output, relation-member expansion
+    # via split_mapping, synthesized relations for split rings)
+    ways = ck(splitops.split_long_ways(ways, max_way_nodes), "ways")
 
     # relations: multipolygon for every FLATE that has hole rings
     flate_rings = rings.select("doc_id", "span_idx", "flate_id", "objtype",

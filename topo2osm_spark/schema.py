@@ -40,12 +40,17 @@ PARSED_OBJECTS = T.StructType([
     T.StructField("enhet", T.DoubleType(), False),
 ])
 
-# Reprojected objects: coords -> lats/lons arrays (parallel), heights
-# kept when present.
-GEO_OBJECTS = T.StructType(PARSED_OBJECTS.fields + [
-    T.StructField("lats", T.ArrayType(T.DoubleType()), True),
-    T.StructField("lons", T.ArrayType(T.DoubleType()), True),
-])
+# Reprojected objects (fused tokenize+project output): raw coords are
+# consumed inside the fused kernel and dropped — lats/lons parallel
+# arrays + the scalar NØH height replace them. (The composable
+# operators/reproject.reproject path yields PARSED_OBJECTS + these
+# three columns, a superset.)
+GEO_OBJECTS = T.StructType(
+    [f for f in PARSED_OBJECTS.fields if f.name != "coords"] + [
+        T.StructField("lats", T.ArrayType(T.DoubleType()), True),
+        T.StructField("lons", T.ArrayType(T.DoubleType()), True),
+        T.StructField("height", T.DoubleType(), True),
+    ])
 
 ASSEMBLED_RINGS = T.StructType([
     T.StructField("doc_id", T.StringType(), False),

@@ -53,43 +53,40 @@ def _parse_header(text: str) -> dict:
 
 
 def _parse_coord_block(lines: list[str], enhet: float, origo_n: float,
-                       origo_e: float) -> tuple[list[list[float]], list[int]]:
-    """Coordinate lines (+ interleaved ...KP markers) -> (coords, kp)."""
-    coords: list[list[float]] = []
+                       origo_e: float) -> tuple[np.ndarray, list[int]]:
+    """Coordinate lines (+ interleaved ...KP markers) -> (coords, kp).
+    coords is an (n, 2|3) float64 ndarray — the numpy form feeds the
+    fused parse+project kernel without a list round-trip."""
     kp: list[int] = []
     num_rows: list[str] = []
     for ln in lines:
         if ln.startswith("...KP"):
-            if coords or num_rows:
+            if num_rows:
                 # KP marks the immediately preceding coordinate
-                kp.append(len(coords) + len(num_rows) - 1)
+                kp.append(len(num_rows) - 1)
             continue
         if _NUM_LINE_RE.match(ln):
             num_rows.append(ln)
-    if num_rows:
-        # hot path: one parse over the joined block when width is uniform
-        width = len(num_rows[0].split())
-        blob = " ".join(num_rows)
-        vals = np.array(blob.split(), dtype=np.float64)
-        if vals.size == width * len(num_rows):
-            arr = vals.reshape(-1, width)
-        else:  # ragged (mixed NØ/NØH) — slow path
-            arr = None
-        if arr is not None:
-            out = np.empty_like(arr)
-            out[:, 0] = origo_n + arr[:, 0] * enhet
-            out[:, 1] = origo_e + arr[:, 1] * enhet
-            if width > 2:
-                out[:, 2] = arr[:, 2] * enhet
-            coords = out.tolist()
-        else:
-            for r in num_rows:
-                p = r.split()
-                row = [origo_n + float(p[0]) * enhet, origo_e + float(p[1]) * enhet]
-                if len(p) > 2:
-                    row.append(float(p[2]) * enhet)
-                coords.append(row)
-    return coords, kp
+    if not num_rows:
+        return np.empty((0, 2)), kp
+    # hot path: one parse over the joined block when width is uniform
+    width = len(num_rows[0].split())
+    blob = " ".join(num_rows)
+    vals = np.array(blob.split(), dtype=np.float64)
+    if vals.size == width * len(num_rows):
+        arr = vals.reshape(-1, width)
+    else:  # ragged (mixed NØ/NØH) — slow path, pad to widest
+        rows = [r.split() for r in num_rows]
+        width = max(len(p) for p in rows)
+        arr = np.zeros((len(rows), width))
+        for i, p in enumerate(rows):
+            arr[i, :len(p)] = [float(x) for x in p]
+    out = np.empty_like(arr)
+    out[:, 0] = origo_n + arr[:, 0] * enhet
+    out[:, 1] = origo_e + arr[:, 1] * enhet
+    if width > 2:
+        out[:, 2] = arr[:, 2] * enhet
+    return out, kp
 
 
 def _parse_refs(ref_text: str) -> tuple[list[int], list[int]]:
@@ -114,8 +111,11 @@ def _parse_refs(ref_text: str) -> tuple[list[int], list[int]]:
     return refs, groups
 
 
-def parse_fragment(text: str, doc_id: str = "", span_idx: int = 0) -> list[dict]:
-    """Parse one SOSI fragment into PARSED_OBJECTS-shaped dicts."""
+def parse_fragment(text: str, doc_id: str = "", span_idx: int = 0,
+                   as_numpy: bool = False) -> list[dict]:
+    """Parse one SOSI fragment into PARSED_OBJECTS-shaped dicts.
+    as_numpy=True keeps coords as the (n, 2|3) ndarray (fused kernel
+    path — skips the list round-trip)."""
     hdr = _parse_header(text)
     out: list[dict] = []
     matches = list(_OBJ_RE.finditer(text))
@@ -156,7 +156,7 @@ def parse_fragment(text: str, doc_id: str = "", span_idx: int = 0) -> list[dict]
             "obj_kind": kind,
             "obj_id": obj_id,
             "objtype": objtype,
-            "coords": coords,
+            "coords": coords if as_numpy else coords.tolist(),
             "kp": kp,
             "refs": refs,
             "hole_group": hole_group,
@@ -203,3 +203,68 @@ def tokenize_spans(spans_df):
     from topo2osm_spark.schema import PARSED_OBJECTS
     return spans_df.select("doc_id", "span_idx", "text").mapInArrow(
         tokenize_arrow_batches, PARSED_OBJECTS)
+
+
+_GEO_ARROW_SCHEMA = pa.schema(
+    [f for f in _ARROW_SCHEMA if f.name != "coords"]
+    + [pa.field("lats", pa.list_(pa.float64())),
+       pa.field("lons", pa.list_(pa.float64())),
+       pa.field("height", pa.float64())])
+
+
+def tokenize_project_batches(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """FUSED S2+S3 kernel: parse AND reproject inside one Python pass.
+
+    The coordinate block (~90% of the bytes) is the heaviest column in
+    the pipeline; the unfused path serialized it JVM->Python (parse) ->
+    JVM -> Python (project) -> JVM. Fusing removes one full Arrow
+    round-trip of that column and the per-stage runner handshake —
+    measured as the dominant non-scaling cost in BENCH/BASELINE.md r1.
+    Per batch: parse every fragment (coords stay numpy), flatten all
+    coordinates into ONE array, one Krueger-series ufunc pass, re-split
+    by offsets. Also extracts the scalar NØH height (contours carry a
+    constant height per curve)."""
+    from topo2osm_spark.functions import proj
+    zmap = proj.SOSI_KOORDSYS_TO_ZONE
+    for batch in batches:
+        doc_ids = batch.column("doc_id").to_pylist()
+        span_idxs = batch.column("span_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+        rows: list[dict] = []
+        for d, s, t in zip(doc_ids, span_idxs, texts):
+            if t:
+                rows.extend(parse_fragment(t, d, s, as_numpy=True))
+        if not rows:
+            continue
+        lens = np.array([r["coords"].shape[0] for r in rows], dtype=np.int64)
+        total = int(lens.sum())
+        flat_n = np.empty(total)
+        flat_e = np.empty(total)
+        zones = np.empty(total)
+        pos = 0
+        for r, m in zip(rows, lens):
+            if m:
+                arr = r["coords"]
+                flat_n[pos:pos + m] = arr[:, 0]
+                flat_e[pos:pos + m] = arr[:, 1]
+                zones[pos:pos + m] = zmap.get(int(r["koordsys"]), 33)
+                pos += m
+        lat, lon = proj.utm_inverse(flat_e, flat_n, zones)
+        pos = 0
+        for r, m in zip(rows, lens):
+            arr = r.pop("coords")
+            r["lats"] = lat[pos:pos + m].tolist()
+            r["lons"] = lon[pos:pos + m].tolist()
+            r["height"] = float(arr[0, 2]) if (m and arr.shape[1] > 2) else None
+            pos += m
+        yield pa.RecordBatch.from_pylist(rows, schema=_GEO_ARROW_SCHEMA)
+
+
+def tokenize_project_spans(spans_df):
+    """Fused Spark operator: spans -> GEO_OBJECTS in one mapInArrow
+    (Python boundary #1 AND #2 of SURVEY.md §3.2 collapsed). The
+    unfused tokenize_spans + operators/reproject.reproject remain the
+    composable API; the pipeline uses this for throughput."""
+    from topo2osm_spark.schema import GEO_OBJECTS
+    return spans_df.select("doc_id", "span_idx", "text").mapInArrow(
+        tokenize_project_batches, GEO_OBJECTS)
