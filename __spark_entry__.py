@@ -458,6 +458,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.size("features").alias("n_features"))
     q["media_decode"] = media_decode
 
+    def media_frame_sample(spark, sf):
+        _tune(spark)
+        from topo2osm_spark.operators.media import decode_media, frame_sample
+        geo = _geo_outputs(spark, sf)
+        media = (geo["spans"].where(F.col("kind") == "media")
+                 .select("doc_id", "media_ref"))
+        return (frame_sample(decode_media(media), every_n=64)
+                .select("doc_id", "media_ref", "frame_idx",
+                        F.hex("frame_sig").alias("sig_hex")))
+    q["media_frame_sample"] = media_frame_sample
+
     # ---- geometry suite (rows-only: non-SQL-expressible) ----
     def sosi_parse_objects(spark, sf):
         out = _geo_outputs(spark, sf)

@@ -64,34 +64,55 @@ def expand_relation_members(relations: DataFrame,
     """Replace every relation member whose way was split by that way's
     parts (role preserved; parts in chain order, member order kept).
 
-    The mapping holds split ways only, so unsplit members pass through
-    the left join unchanged. The mapping is tiny relative to the
-    relation set (only >2000-node rings) -> broadcast."""
-    m = (relations
+    Splits are RARE (only >2000-node rings), so the explode+regroup
+    machinery runs only on relations that actually contain a split
+    member: a narrow explode of (rel_id, member way_id) semi-joined
+    against the (broadcast, tiny) split-parent set picks the affected
+    relations; everything else passes through untouched — the heavy
+    tags/members payload of the 99.9% unaffected relations never
+    enters a shuffle."""
+    # renamed copies avoid ambiguous-self-join resolution (the mapping
+    # participates in both the probe and the expansion join)
+    split_parents = (mapping.select(F.col("parent_way_id").alias("_sp"))
+                     .distinct())
+    map2 = mapping.select(F.col("parent_way_id").alias("_pw"),
+                          F.col("part").alias("_part"),
+                          F.col("way_id").alias("_sw"))
+    affected_ids = (relations
+                    .select("rel_id", F.explode("members").alias("m"))
+                    .join(F.broadcast(split_parents),
+                          F.col("m.way_id") == F.col("_sp"), "left_semi")
+                    .select("rel_id").distinct())
+    untouched = relations.join(F.broadcast(affected_ids), "rel_id",
+                               "left_anti")
+    affected = relations.join(F.broadcast(affected_ids), "rel_id",
+                              "left_semi")
+    m = (affected
          .select("rel_id", "doc_id", "span_idx", "flate_id", "tags",
                  "rel_type", F.posexplode("members").alias("mpos", "member")))
-    exp = (m.join(F.broadcast(mapping),
-                  m["member.way_id"] == mapping["parent_way_id"], "left")
+    exp = (m.join(F.broadcast(map2),
+                  F.col("member.way_id") == F.col("_pw"), "left")
            .select("rel_id", "doc_id", "span_idx", "flate_id", "tags",
                    "rel_type", "mpos",
-                   F.coalesce("part", F.lit(0)).alias("part"),
+                   F.coalesce("_part", F.lit(0)).alias("part"),
                    F.struct(
                        F.col("member.role").alias("role"),
-                       F.coalesce(mapping["way_id"], m["member.way_id"])
+                       F.coalesce(F.col("_sw"), F.col("member.way_id"))
                         .alias("way_id")).alias("member")))
     # group on rel_id alone (maps are not groupable); the other columns
     # are functionally dependent on it
-    return (exp.groupBy("rel_id")
-            .agg(F.first("doc_id").alias("doc_id"),
-                 F.first("span_idx").alias("span_idx"),
-                 F.first("flate_id").alias("flate_id"),
-                 F.first("tags").alias("tags"),
-                 F.first("rel_type").alias("rel_type"),
-                 F.array_sort(F.collect_list(
-                     F.struct("mpos", "part", "member"))).alias("ms"))
-            .select("rel_id", "doc_id", "span_idx", "flate_id",
-                    F.transform("ms", lambda x: x["member"]).alias("members"),
-                    "tags", "rel_type"))
+    expanded = (exp.groupBy("rel_id")
+                .agg(F.first("doc_id").alias("doc_id"),
+                     F.first("span_idx").alias("span_idx"),
+                     F.first("flate_id").alias("flate_id"),
+                     F.first("tags").alias("tags"),
+                     F.first("rel_type").alias("rel_type"),
+                     F.array_sort(F.collect_list(
+                         F.struct("mpos", "part", "member"))).alias("ms"))
+                .select("rel_id", "doc_id", "span_idx", "flate_id",
+                        F.transform("ms", lambda x: x["member"]).alias("members"),
+                        "tags", "rel_type"))
+    return untouched.unionByName(expanded)
 
 
 def synthesize_relations_for_split_rings(ways_split: DataFrame,

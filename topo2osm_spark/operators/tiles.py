@@ -19,28 +19,68 @@ the join keeps the fan-in bounded.
 
 from __future__ import annotations
 
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, functions as F
 
 from topo2osm_spark.functions import cells
 
 VECTOR_RES = 14  # finest tile zoom in the corpus; vector cells at this res
 
+# ------------------------------------------------------------------
+# JVM (codegen) mirrors of functions/cells.py — the raster<->vector
+# join touches every way node times every zoom present, so its cell
+# math must stay inside whole-stage codegen, not a Python worker. The
+# Morton magic-number spreads use only LITERAL shift counts, so they
+# compile to plain Spark SQL; variable shifts (parent's 2*(res-z))
+# become exact integer division by pow(2, k) (powers of two are exact
+# in double far beyond 2^58). numpy kernels remain the mapInArrow-side
+# implementation; test_tiles_jvm_cells pins both to the same values.
 
-@F.pandas_udf(T.LongType())
-def tile_cell_udf(z: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
-    return pd.Series(cells.cell_from_tile(z.to_numpy(), x.to_numpy(),
-                                          y.to_numpy()))
+_RES_SHIFT_MUL = 1 << 58
+_MORTON_MASK = (1 << 58) - 1
+_SPREAD_STEPS = ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                 (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                 (1, 0x5555555555555555))
 
 
-@F.pandas_udf(T.LongType())
-def parent_cell_udf(cell: pd.Series, res: pd.Series) -> pd.Series:
-    return pd.Series(cells.parent(cell.to_numpy(), res.to_numpy()))
+def _spread_sql(col: str) -> str:
+    """SQL expr: spread the low 29 bits of `col` to even bit positions
+    (part1by1, same magic numbers as cells._spread_bits)."""
+    v = f"(({col}) & 536870911)"
+    for sh, mask in _SPREAD_STEPS:
+        v = f"((({v}) | shiftleft(({v}), {sh})) & {mask})"
+    return v
 
 
-@F.pandas_udf(T.LongType())
-def cell_at_vector_res(lat: pd.Series, lon: pd.Series) -> pd.Series:
-    return pd.Series(cells.encode(lat.to_numpy(), lon.to_numpy(), VECTOR_RES))
+def tile_cell_expr(z: str, x: str, y: str) -> Column:
+    """(z, x, y) tile -> cell id, JVM-side (cells.cell_from_tile)."""
+    morton = f"({_spread_sql(x)} + 2 * {_spread_sql(y)})"
+    return F.expr(f"CAST({z} AS BIGINT) * {_RES_SHIFT_MUL} + {morton}")
+
+
+def cell_at_res_expr(lat: str, lon: str, res: int) -> Column:
+    """(lat, lon) -> cell id at LITERAL resolution res (cells.encode)."""
+    n = 1 << res
+    lat_c = f"greatest(least({lat}, {cells.MAX_LAT}), {-cells.MAX_LAT})"
+    xn = f"((({lon}) + 180.0) / 360.0)"
+    yn = f"((1.0 - asinh(tan(radians({lat_c}))) / pi()) / 2.0)"
+    ix = f"least(greatest(CAST(floor({xn} * {n}.0) AS BIGINT), 0), {n - 1})"
+    iy = f"least(greatest(CAST(floor({yn} * {n}.0) AS BIGINT), 0), {n - 1})"
+    return F.expr(f"{res}L * {_RES_SHIFT_MUL} + "
+                  f"({_spread_sql(ix)} + 2 * {_spread_sql(iy)})")
+
+
+def parent_cell_expr(cell: str, z: str) -> Column:
+    """Ancestor of `cell` at coarser resolution column `z`
+    (cells.parent). Variable shift via exact pow-of-two division."""
+    res = f"shiftrightunsigned({cell}, 58)"
+    morton = f"(({cell}) & {_MORTON_MASK})"
+    return F.expr(
+        f"CAST({z} AS BIGINT) * {_RES_SHIFT_MUL} + "
+        f"({morton} DIV CAST(pow(2.0, 2 * ({res} - {z})) AS BIGINT))")
+
+
+def cell_at_vector_res(lat: str, lon: str) -> Column:
+    return cell_at_res_expr(lat, lon, VECTOR_RES)
 
 
 def parse_media_refs(media_spans: DataFrame) -> DataFrame:
@@ -53,7 +93,7 @@ def parse_media_refs(media_spans: DataFrame) -> DataFrame:
          .withColumn("x", F.regexp_extract("media_ref", pat, 2).cast("int"))
          .withColumn("y", F.regexp_extract("media_ref", pat, 3).cast("int"))
          .where((F.col("z") <= VECTOR_RES) & (F.col("z") >= 0)))
-    return m.withColumn("tile_cell", tile_cell_udf("z", "x", "y"))
+    return m.withColumn("tile_cell", tile_cell_expr("z", "x", "y"))
 
 
 def tile_vector_join(media: DataFrame, vector_cells: DataFrame,
@@ -76,7 +116,7 @@ def tile_vector_join(media: DataFrame, vector_cells: DataFrame,
     # No driver-side collect: the zoom scan folds into the same DAG.
     zdf = media.select("z").distinct()
     vc = (vc.crossJoin(F.broadcast(zdf))
-            .withColumn("anc", parent_cell_udf("cell", "z")))
+            .withColumn("anc", parent_cell_expr("cell", "z")))
     join_on = ["doc_id", "z", "anc"] if per_document else ["z", "anc"]
     joined = media.select("doc_id", "media_ref", "z",
                           F.col("tile_cell").alias("anc")) \

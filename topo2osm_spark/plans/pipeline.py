@@ -208,14 +208,17 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
                        .otherwise(F.lit("outer")).alias("role"),
                       "way_id"))).alias("members_raw"))
              .where(F.col("has_holes") == 1))
-    relations = (tags.join_tags(
+    # persisted: 3 consumers (affected-id probe + pass-through/expand in
+    # expand_relation_members, already-in-relation probe in synth)
+    relations = ck(tags.join_tags(
         holed.withColumn("geom_kind", F.lit("FLATE")), spark)
         .withColumn("rel_id", content_id("doc_id", "span_idx", F.lit("R"), "flate_id"))
         .select("rel_id", "doc_id", "span_idx", "flate_id",
                 F.transform("members_raw",
                             lambda m: F.struct(m["role"].alias("role"),
                                                m["way_id"].alias("way_id"))).alias("members"),
-                "tags", F.lit("multipolygon").alias("rel_type")))
+                "tags", F.lit("multipolygon").alias("rel_type")),
+        "relations_raw")
     # way splitting propagates into relations: split members expand to
     # their parts in place; split CLOSED rings not in any relation get
     # a synthesized multipolygon carrying the area semantics.
