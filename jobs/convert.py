@@ -82,9 +82,12 @@ def main() -> int:
                        input_fp=input_fp)
 
     stage_secs: dict[str, float] = {}
+    stage_secs["plan_build"] = round(time.monotonic() - t0, 2)
     n_docs = args.n_docs
     if args.input:
+        tc = time.monotonic()
         n_docs = docs.count()
+        stage_secs["input_count"] = round(time.monotonic() - tc, 2)
     # materialize the shared core once (the persisted chain up to the
     # node table), then run the five output writes as CONCURRENT Spark
     # jobs — they only touch cached intermediates, and overlapping them
@@ -101,14 +104,19 @@ def main() -> int:
             os.path.join(args.out, "out_" + name))
         return name, round(time.monotonic() - t, 2)
 
-    names = ("nodes", "ways", "relations", "tile_assignments", "echo")
     # write-job concurrency: enough overlap to hide per-job scheduler
     # latency, low enough to stay under the host's IPC-concurrency
-    # collapse threshold (~8-12 active Arrow runner contexts)
+    # collapse threshold (~8-12 active Arrow runner contexts).
+    # Waves respect the persist DAG: relations reads the ways persist
+    # (split mapping), so it must not start until the ways write has
+    # materialized that cache — otherwise both jobs recompute the
+    # split chain concurrently.
     wc = int(os.environ.get("SPARK_GRAFT_WRITE_CONCURRENCY", "2"))
-    with ThreadPoolExecutor(max_workers=max(1, wc)) as ex:
-        for name, secs in ex.map(write_one, names):
-            stage_secs[name] = secs
+    for wave in (("nodes", "ways"), ("relations", "tile_assignments", "echo")):
+        with ThreadPoolExecutor(max_workers=max(1, wc)) as ex:
+            for name, secs in ex.map(write_one, wave):
+                stage_secs[name] = secs
+    names = ("nodes", "ways", "relations", "tile_assignments", "echo")
     counts = {}
     if not args.skip_counts:
         counts = {name: spark.read.parquet(os.path.join(args.out, "out_" + name)).count()

@@ -32,9 +32,7 @@ otherwise.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F
 
 from topo2osm_spark.functions.ids import content_id
 
@@ -75,19 +73,18 @@ def snap_mapping(nodes: DataFrame, tol_m: float = 0.5,
     """op 13: (node_id, lat, lon) -> (node_id, canon_id) for nodes that
     snap to a lower-id node within tol_m. Identity rows are omitted.
 
-    Shape (one shuffle + one Arrow stage — replaces an earlier
-    edge-join + iterative label propagation that cost ~40 scheduler
-    rounds on small inputs):
+    Shape (ONE data-sized shuffle, pure JVM end-to-end):
 
     1. shifted-grid candidate groups: bins of size g = 4*tol in both
        axes at 4 half-cell offsets — the classic guarantee that any
        pair within tol <= g/2 shares at least one bin (JVM floor math,
        4x map-side replication, no Python, no k-ring join);
-    2. per-bin union-find in numpy (applyInPandas): exact pairwise
-       planar distances, components -> min-id canon;
-    3. global min per node across the 4 grids + `iterations` rounds of
-       path compression over the (tiny) non-identity mapping — resolves
-       chains that straddle bins.
+    2. i<j pair generation + exact planar distance filter as JVM
+       higher-order functions over the (tiny minority of) multi-node
+       bins -> an edge per merge candidate, distinct across grids;
+    3. connected components by `iterations` rounds of min-label
+       propagation over the edge set — edge-count-sized joins, fully
+       distributed, no driver union-find.
 
     g_lon uses cos(max_abs_lat) so the bin guarantee holds at the
     highest latitude PRESENT IN THE DATA: max_abs_lat=None (default)
@@ -113,58 +110,67 @@ def snap_mapping(nodes: DataFrame, tol_m: float = 0.5,
                 F.floor(F.col("lon") / g_lon + ox * 0.5).alias("bx"))
             for oy in (0, 1) for ox in (0, 1)])).alias("b"))
 
-    # one hash-agg row per bin; only multi-node bins survive (the
-    # overwhelming majority of bins are singletons — never pay a
-    # Python-group round-trip for them)
-    multi = (binned
-             .groupBy("b.grid", "b.by", "b.bx")
+    # Multi-node bins are a tiny minority (singleton bins can never
+    # produce a pair), so find them with a PRIMITIVE codegen count-agg
+    # first and only then pay collect_list: an ObjectHashAggregate
+    # building one array per bin over all 4xN rows sort-spills on the
+    # ~N mostly-singleton groups and was the single largest core stage
+    # at 128k docs (~40% of core). The hot-bin set is merge-candidate
+    # sized -> broadcast probe; on a real cluster AQE swaps in a
+    # shuffle join if it ever outgrows the broadcast threshold.
+    binned = binned.select("node_id", "lat", "lon", "b.grid", "b.by", "b.bx")
+    hot = (binned.groupBy("grid", "by", "bx")
+           .agg(F.count(F.lit(1)).alias("c"))
+           .where(F.col("c") >= 2)
+           .select("grid", "by", "bx"))
+    multi = (binned.join(F.broadcast(hot), ["grid", "by", "bx"])
+             .groupBy("grid", "by", "bx")
              .agg(F.collect_list(F.struct("node_id", "lat", "lon")).alias("pts"))
-             .where(F.size("pts") >= 2)
              .select("pts"))
 
-    def uf_batches(it):
-        for pdf in it:
-            out_ids, out_canon = [], []
-            for pts in pdf["pts"]:
-                ids = np.array([p["node_id"] for p in pts], dtype=np.int64)
-                lat = np.array([p["lat"] for p in pts])
-                lon = np.array([p["lon"] for p in pts])
-                clat = np.cos(np.radians(lat.mean()))
-                dy = (lat[:, None] - lat[None, :]) * _M_PER_DEG
-                dx = (lon[:, None] - lon[None, :]) * _M_PER_DEG * clat
-                close = (dy * dy + dx * dx) <= tol_m * tol_m
-                parent = np.arange(len(ids))
+    # all i<j pairs within a bin: nested transform + flatten, then the
+    # planar tolerance test in codegen. lo/hi-ordered so each edge
+    # appears once per containing bin; distinct() collapses the 4-grid
+    # replication.
+    pts = F.col("pts")
+    pairs = F.flatten(F.transform(
+        pts, lambda x, i: F.transform(
+            F.slice(pts, i + 2, F.size(pts)),
+            lambda y: F.struct(
+                F.least(x["node_id"], y["node_id"]).alias("lo"),
+                F.greatest(x["node_id"], y["node_id"]).alias("hi"),
+                ((x["lat"] - y["lat"]) * F.lit(_M_PER_DEG)).alias("dy"),
+                ((x["lon"] - y["lon"]) * F.lit(_M_PER_DEG)
+                 * F.cos(F.radians((x["lat"] + y["lat"]) / F.lit(2.0)))).alias("dx")))))
+    edges = (multi
+             .select(F.explode(F.filter(
+                 pairs, lambda p: p["dy"] * p["dy"] + p["dx"] * p["dx"]
+                 <= F.lit(tol_m * tol_m))).alias("e"))
+             .select(F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"))
+             .distinct())
 
-                def find(i):
-                    while parent[i] != i:
-                        parent[i] = parent[parent[i]]
-                        i = parent[i]
-                    return i
-
-                for i, j in zip(*np.nonzero(np.triu(close, 1))):
-                    ri, rj = find(i), find(j)
-                    if ri != rj:
-                        parent[max(ri, rj)] = min(ri, rj)
-                roots = np.array([find(i) for i in range(len(ids))])
-                canon = np.empty(len(ids), dtype=np.int64)
-                for r in np.unique(roots):
-                    members = roots == r
-                    canon[members] = ids[members].min()
-                keep = canon != ids
-                out_ids.extend(ids[keep].tolist())
-                out_canon.extend(canon[keep].tolist())
-            yield pd.DataFrame({"node_id": out_ids, "canon_id": out_canon})
-
-    local = multi.mapInPandas(uf_batches, "node_id long, canon_id long")
-    mapping = local.groupBy("node_id").agg(F.min("canon_id").alias("canon_id"))
-    # path compression: follow canon -> canon' for chains across bins
+    # connected components by min-label propagation over the edge set
+    # (tiny: one row per actual merge candidate). Labels start as own
+    # id; each round takes the min over neighbors. Components within
+    # tolerance are geometrically tiny (2-4 nodes — SURVEY.md §7.3),
+    # so `iterations`+1 rounds converge; still fully distributed.
+    edges_bi = edges.unionByName(
+        edges.select(F.col("hi").alias("lo"), F.col("lo").alias("hi")))
+    labels = (edges_bi.groupBy(F.col("lo").alias("node_id"))
+              .agg(F.min("hi").alias("nbr_min"))
+              .select("node_id",
+                      F.least("node_id", "nbr_min").alias("canon_id")))
     for _ in range(iterations):
-        nxt = mapping.select(F.col("node_id").alias("c2"),
-                             F.col("canon_id").alias("canon2"))
-        mapping = (mapping.join(nxt, mapping["canon_id"] == nxt["c2"], "left")
-                   .select("node_id",
-                           F.coalesce("canon2", "canon_id").alias("canon_id")))
-    return mapping.where(F.col("node_id") != F.col("canon_id"))
+        nbr = (edges_bi.join(
+                   labels.select(F.col("node_id").alias("n2"), "canon_id"),
+                   F.col("hi") == F.col("n2"))
+               .groupBy(F.col("lo").alias("node_id"))
+               .agg(F.min("canon_id").alias("nbr_canon")))
+        labels = (labels.join(nbr, "node_id", "left")
+                  .select("node_id",
+                          F.least(F.coalesce("nbr_canon", "canon_id"),
+                                  F.col("canon_id")).alias("canon_id")))
+    return labels.where(F.col("node_id") != F.col("canon_id"))
 
 
 def apply_snap(df: DataFrame, mapping: DataFrame, node_col: str = "node_id",

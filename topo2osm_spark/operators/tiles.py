@@ -118,9 +118,17 @@ def tile_vector_join(media: DataFrame, vector_cells: DataFrame,
     vc = (vc.crossJoin(F.broadcast(zdf))
             .withColumn("anc", parent_cell_expr("cell", "z")))
     join_on = ["doc_id", "z", "anc"] if per_document else ["z", "anc"]
-    joined = media.select("doc_id", "media_ref", "z",
-                          F.col("tile_cell").alias("anc")) \
-                  .join(vc, join_on)
+    # broadcast the MEDIA side: the zoom fan-out multiplies the vector
+    # side by up to 15x, and a shuffle join would move that entire
+    # fan-out; with media broadcast the fan-out stays map-side and is
+    # consumed by the probe without ever hitting a shuffle. media is
+    # one row per media span (corpus-small). If it outgrows the
+    # broadcast budget at cluster scale, drop the hint and AQE picks
+    # the shuffle strategy (and its skew handling) instead.
+    joined = vc.join(
+        F.broadcast(media.select("doc_id", "media_ref", "z",
+                                 F.col("tile_cell").alias("anc"))),
+        join_on)
     return (joined.select("doc_id", "media_ref",
                           F.col("cell").alias("cell_id"), "way_id")
                   .dropDuplicates(["doc_id", "media_ref", "cell_id", "way_id"]))

@@ -67,7 +67,8 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
                  persist: bool = True,
                  persist_level: str = "DISK_ONLY",
                  input_fp: str | None = None,
-                 max_way_nodes: int = splitops.MAX_WAY_NODES) -> dict:
+                 max_way_nodes: int = splitops.MAX_WAY_NODES,
+                 parse_partitions: int | None = None) -> dict:
     """Full conversion; returns a dict of output DataFrames.
 
     input_fp: identity of the INPUT dataset, folded into the root of
@@ -113,16 +114,43 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     # S2+S3 FUSED: tokenize + reproject in ONE Arrow pass — the coord
     # arrays never round-trip through the JVM between parse and
     # projection (BENCH/BASELINE.md r1 flagged the per-stage Python
-    # handshakes as the dominant non-scaling cost)
-    geo = ck(sosi.tokenize_project_spans(spans.where(F.col("kind") == "sosi")),
-             "geo_objects", snap_tol_m)
+    # handshakes as the dominant non-scaling cost).
+    #
+    # Round-robin rebalance BEFORE the Arrow pass: the parse is ~100x
+    # the per-byte cost of the parquet scan, so scan bin-packing
+    # (maxPartitionBytes sizes partitions for SCAN cost; 32 small files
+    # coalesce to ~3 splits) would starve it, and Zipf-head documents
+    # straggle any layout that keeps neighbors together. One narrow
+    # shuffle of the raw span text is cheap next to tokenization and
+    # buys even per-task work at any input file layout — the same
+    # reasoning AQE's rebalance applies on a real cluster.
+    # parse_partitions: None = auto, 0 = keep the scan layout
+    n_parse = parse_partitions
+    if n_parse is None:
+        n_parse = max(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                      2 * spark.sparkContext.defaultParallelism)
+    sosi_spans = spans.where(F.col("kind") == "sosi")
+    if n_parse:
+        sosi_spans = sosi_spans.repartition(n_parse)
+    # S4 (ring assembly) is fused INTO the same Arrow pass: a FLATE
+    # only references curves of its own span, so assembling while the
+    # span is resident in the parse worker replaces the refs->curves
+    # shuffle + per-FLATE regroup with span-local numpy. One persist
+    # holds both row kinds.
+    geo_all = ck(sosi.tokenize_project_assemble_spans(sosi_spans),
+                 "geo_objects", snap_tol_m)
+    geo = geo_all.where(F.col("row_kind") == "obj") \
+                 .drop("row_kind", "flate_id", "ring_idx", "is_hole",
+                       "closed", "area", "n_curves")
 
     curves = geo.where(F.col("obj_kind") == "KURVE")
     flates = geo.where(F.col("obj_kind") == "FLATE")
     punkts = geo.where(F.col("obj_kind") == "PUNKT")
 
-    # S4: ring assembly
-    rings = ck(assembly.assemble_rings(flates, curves), "rings")
+    # S4 output: ring rows of the fused pass (ASSEMBLED_RINGS shape)
+    rings = geo_all.where(F.col("row_kind") == "ring").select(
+        "doc_id", "span_idx", "flate_id", "objtype", "ring_idx",
+        "is_hole", "lats", "lons", "closed", "area", "n_curves")
     rings = rings.withColumn(
         "way_id", content_id("doc_id", "span_idx", F.lit("F"), "flate_id", "ring_idx"))
 
@@ -191,11 +219,11 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     # junction endpoint nodes (OSM 2000-node hard limit)
     way_meta = way_geoms.drop("lats", "lons")
     tagged = tags.with_ele(tags.join_tags(way_meta, spark))
-    ways = (tagged.join(way_node_lists, "way_id")
-                  .withColumn("n_nodes", F.size("node_ids")))
+    ways_presplit = (tagged.join(way_node_lists, "way_id")
+                     .withColumn("n_nodes", F.size("node_ids")))
     # persisted: 3 consumers (ways output, relation-member expansion
     # via split_mapping, synthesized relations for split rings)
-    ways = ck(splitops.split_long_ways(ways, max_way_nodes), "ways")
+    ways = ck(splitops.split_long_ways(ways_presplit, max_way_nodes), "ways")
 
     # relations: multipolygon for every FLATE that has hole rings
     flate_rings = rings.select("doc_id", "span_idx", "flate_id", "objtype",
@@ -257,6 +285,16 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
         "echo": echo_spans(docs),
         "integrity": assembly.integrity_report(flates, curves)
                              .unionByName(kp_missing),
+        # diagnostics surface (scripts/probe_ways_chain.py): named
+        # intermediates for isolated stage timing — lazy, zero cost
+        # unless a caller acts on them
+        "_internal": {
+            "way_nodes": way_nodes,
+            "snap_map": snap_map,
+            "wn_snapped": wn,
+            "way_node_lists": way_node_lists,
+            "tagged_ways_presplit": ways_presplit,
+        },
     }
 
     if run_pip:

@@ -52,6 +52,21 @@ GEO_OBJECTS = T.StructType(
         T.StructField("height", T.DoubleType(), True),
     ])
 
+# Union output of the fully-fused parse+project+assemble kernel
+# (sources/sosi.py tokenize_project_assemble_spans): object rows carry
+# GEO_OBJECTS columns (ring extras null); ring rows carry the
+# ASSEMBLED_RINGS payload with obj_kind='RING', obj_id=flate_id.
+GEO_WITH_RINGS = T.StructType(
+    GEO_OBJECTS.fields + [
+        T.StructField("row_kind", T.StringType(), False),
+        T.StructField("flate_id", T.LongType(), True),
+        T.StructField("ring_idx", T.IntegerType(), True),
+        T.StructField("is_hole", T.BooleanType(), True),
+        T.StructField("closed", T.BooleanType(), True),
+        T.StructField("area", T.DoubleType(), True),
+        T.StructField("n_curves", T.IntegerType(), True),
+    ])
+
 ASSEMBLED_RINGS = T.StructType([
     T.StructField("doc_id", T.StringType(), False),
     T.StructField("span_idx", T.IntegerType(), False),

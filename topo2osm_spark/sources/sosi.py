@@ -212,6 +212,50 @@ _GEO_ARROW_SCHEMA = pa.schema(
        pa.field("height", pa.float64())])
 
 
+def _project_batch_rows(batch: pa.RecordBatch) -> tuple[list[dict], list[tuple]]:
+    """Parse + reproject one Arrow batch. Returns (rows, spans) where
+    rows are GEO-shaped dicts (lats/lons as python lists) and spans is
+    [(doc_id, span_idx, lo, hi)] row-slice bookkeeping per input span —
+    the hook that lets the assembly-fused kernel regroup a span's
+    objects without a shuffle."""
+    from topo2osm_spark.functions import proj
+    zmap = proj.SOSI_KOORDSYS_TO_ZONE
+    doc_ids = batch.column("doc_id").to_pylist()
+    span_idxs = batch.column("span_idx").to_pylist()
+    texts = batch.column("text").to_pylist()
+    rows: list[dict] = []
+    spans: list[tuple] = []
+    for d, s, t in zip(doc_ids, span_idxs, texts):
+        if t:
+            lo = len(rows)
+            rows.extend(parse_fragment(t, d, s, as_numpy=True))
+            spans.append((d, s, lo, len(rows)))
+    if not rows:
+        return rows, spans
+    lens = np.array([r["coords"].shape[0] for r in rows], dtype=np.int64)
+    total = int(lens.sum())
+    flat_n = np.empty(total)
+    flat_e = np.empty(total)
+    zones = np.empty(total)
+    pos = 0
+    for r, m in zip(rows, lens):
+        if m:
+            arr = r["coords"]
+            flat_n[pos:pos + m] = arr[:, 0]
+            flat_e[pos:pos + m] = arr[:, 1]
+            zones[pos:pos + m] = zmap.get(int(r["koordsys"]), 33)
+            pos += m
+    lat, lon = proj.utm_inverse(flat_e, flat_n, zones)
+    pos = 0
+    for r, m in zip(rows, lens):
+        arr = r.pop("coords")
+        r["lats"] = lat[pos:pos + m].tolist()
+        r["lons"] = lon[pos:pos + m].tolist()
+        r["height"] = float(arr[0, 2]) if (m and arr.shape[1] > 2) else None
+        pos += m
+    return rows, spans
+
+
 def tokenize_project_batches(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """FUSED S2+S3 kernel: parse AND reproject inside one Python pass.
 
@@ -224,40 +268,10 @@ def tokenize_project_batches(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.R
     coordinates into ONE array, one Krueger-series ufunc pass, re-split
     by offsets. Also extracts the scalar NØH height (contours carry a
     constant height per curve)."""
-    from topo2osm_spark.functions import proj
-    zmap = proj.SOSI_KOORDSYS_TO_ZONE
     for batch in batches:
-        doc_ids = batch.column("doc_id").to_pylist()
-        span_idxs = batch.column("span_idx").to_pylist()
-        texts = batch.column("text").to_pylist()
-        rows: list[dict] = []
-        for d, s, t in zip(doc_ids, span_idxs, texts):
-            if t:
-                rows.extend(parse_fragment(t, d, s, as_numpy=True))
-        if not rows:
-            continue
-        lens = np.array([r["coords"].shape[0] for r in rows], dtype=np.int64)
-        total = int(lens.sum())
-        flat_n = np.empty(total)
-        flat_e = np.empty(total)
-        zones = np.empty(total)
-        pos = 0
-        for r, m in zip(rows, lens):
-            if m:
-                arr = r["coords"]
-                flat_n[pos:pos + m] = arr[:, 0]
-                flat_e[pos:pos + m] = arr[:, 1]
-                zones[pos:pos + m] = zmap.get(int(r["koordsys"]), 33)
-                pos += m
-        lat, lon = proj.utm_inverse(flat_e, flat_n, zones)
-        pos = 0
-        for r, m in zip(rows, lens):
-            arr = r.pop("coords")
-            r["lats"] = lat[pos:pos + m].tolist()
-            r["lons"] = lon[pos:pos + m].tolist()
-            r["height"] = float(arr[0, 2]) if (m and arr.shape[1] > 2) else None
-            pos += m
-        yield pa.RecordBatch.from_pylist(rows, schema=_GEO_ARROW_SCHEMA)
+        rows, _ = _project_batch_rows(batch)
+        if rows:
+            yield pa.RecordBatch.from_pylist(rows, schema=_GEO_ARROW_SCHEMA)
 
 
 def tokenize_project_spans(spans_df):
@@ -268,3 +282,84 @@ def tokenize_project_spans(spans_df):
     from topo2osm_spark.schema import GEO_OBJECTS
     return spans_df.select("doc_id", "span_idx", "text").mapInArrow(
         tokenize_project_batches, GEO_OBJECTS)
+
+
+_RING_EXTRA_FIELDS = [
+    pa.field("row_kind", pa.string(), False),   # 'obj' | 'ring'
+    pa.field("flate_id", pa.int64()),
+    pa.field("ring_idx", pa.int32()),
+    pa.field("is_hole", pa.bool_()),
+    pa.field("closed", pa.bool_()),
+    pa.field("area", pa.float64()),
+    pa.field("n_curves", pa.int32()),
+]
+_GEO_RINGS_ARROW_SCHEMA = pa.schema(
+    list(_GEO_ARROW_SCHEMA) + _RING_EXTRA_FIELDS)
+
+
+def tokenize_project_assemble_batches(
+        batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """FUSED S2+S3+S4 kernel: parse, reproject AND assemble rings in
+    one Python pass.
+
+    A FLATE's ..REF list can only reference curves of its OWN span (a
+    SOSI fragment is self-contained), so the refs->curves equi-join +
+    per-FLATE regroup of operators/assembly.py is a shuffle of the
+    entire curve coordinate column that moves data BACK to where it
+    already was. Chaining the rings while the span's objects are still
+    resident in the parse worker eliminates that shuffle, the
+    ObjectHashAggregate array build, and a second Arrow stage. The
+    standalone assemble_rings operator remains the composable API;
+    semantics are identical (same _assemble_one kernel).
+
+    Output is the GEO_WITH_RINGS union table: object rows
+    (row_kind='obj', ring columns null) interleaved with ring rows
+    (row_kind='ring', ASSEMBLED_RINGS payload; obj_kind='RING',
+    obj_id=flate_id)."""
+    from topo2osm_spark.operators.assembly import _assemble_one
+    for batch in batches:
+        rows, spans = _project_batch_rows(batch)
+        if not rows:
+            continue
+        for r in rows:
+            r["row_kind"] = "obj"
+        ring_rows: list[dict] = []
+        for d, s, lo, hi in spans:
+            curves: dict[int, dict] = {}
+            flates: list[dict] = []
+            for r in rows[lo:hi]:
+                if r["obj_kind"] == "KURVE":
+                    curves[r["obj_id"]] = r
+                elif r["obj_kind"] == "FLATE":
+                    flates.append(r)
+            for fl in flates:
+                parts = []
+                for pos, (ref, hg) in enumerate(
+                        zip(fl["refs"] or [], fl["hole_group"] or [])):
+                    cv = curves.get(abs(ref))
+                    if cv is None:   # orphan ref -> integrity report
+                        continue
+                    parts.append({"ref_pos": pos, "ref": ref,
+                                  "hole_group": hg,
+                                  "c_lats": cv["lats"], "c_lons": cv["lons"]})
+                if not parts:
+                    continue
+                n0 = len(ring_rows)
+                _assemble_one(d, s, fl["obj_id"], fl["objtype"], parts,
+                              ring_rows)
+                for rr in ring_rows[n0:]:
+                    rr.update({"row_kind": "ring", "obj_kind": "RING",
+                               "obj_id": rr["flate_id"],
+                               "koordsys": fl["koordsys"],
+                               "enhet": fl["enhet"]})
+        yield pa.RecordBatch.from_pylist(rows + ring_rows,
+                                         schema=_GEO_RINGS_ARROW_SCHEMA)
+
+
+def tokenize_project_assemble_spans(spans_df):
+    """Fused Spark operator: spans -> GEO_WITH_RINGS in one mapInArrow
+    (Python boundaries #1-#3 of SURVEY.md §3.2 collapsed; zero-shuffle
+    ring assembly)."""
+    from topo2osm_spark.schema import GEO_WITH_RINGS
+    return spans_df.select("doc_id", "span_idx", "text").mapInArrow(
+        tokenize_project_assemble_batches, GEO_WITH_RINGS)
