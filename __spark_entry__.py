@@ -446,15 +446,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_topk(e, _QUERY_VEC, k=10)
     q["ann_topk_lsh"] = ann_topk_lsh
 
-    # ---- multimodal plumbing (rows-only; stub decode) ----
+    # ---- multimodal plumbing (rows-only; REAL numpy PPM decode over
+    # deterministic ref-derived payloads) ----
     def media_decode(spark, sf):
         _tune(spark)
-        from topo2osm_spark.operators.media import decode_media
+        from topo2osm_spark.operators.media import (decode_media,
+                                                    with_synth_payload)
         geo = _geo_outputs(spark, sf)
         media = (geo["spans"].where(F.col("kind") == "media")
                  .select("doc_id", "media_ref"))
-        d = decode_media(media)
-        return d.select("doc_id", "media_ref", F.col("meta.width").alias("width"),
+        d = decode_media(with_synth_payload(media))
+        return d.select("doc_id", "media_ref",
+                        F.col("meta.width").alias("width"),
+                        F.col("meta.codec").alias("codec"),
                         F.size("features").alias("n_features"))
     q["media_decode"] = media_decode
 
@@ -468,6 +472,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "media_ref", "frame_idx",
                         F.hex("frame_sig").alias("sig_hex")))
     q["media_frame_sample"] = media_frame_sample
+
+    def stream_dedup_state(spark, sf):
+        # custom STATEFUL streaming op (applyInPandasWithState):
+        # first-seen-wins exact dedup with per-fingerprint state across
+        # micro-batches. Rows-only by design (streaming, no SQL
+        # equivalent). Driven to completion against the static table
+        # (memory sink + processAllAvailable).
+        _tune(spark)
+        import tempfile
+        from topo2osm_spark.streaming.stream import stream_dedup_exact
+        schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+        # documents.parquet is a single FILE; FileStreamSource wants a
+        # directory -> stream the sf dir with a glob filter.
+        stream = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", "documents.parquet")
+                  .parquet(sf))
+        name = "q_stream_dedup_state"
+        qh = (stream_dedup_exact(stream)
+              .writeStream.format("memory").queryName(name)
+              .option("checkpointLocation",
+                      tempfile.mkdtemp(prefix="sds_ck_"))
+              .outputMode("append").start())
+        qh.processAllAvailable()
+        qh.stop()
+        return (spark.table(name)
+                .select("fingerprint", "doc_id", "first_seen")
+                .orderBy("fingerprint"))
+    q["stream_dedup_state"] = stream_dedup_state
 
     # ---- geometry suite (rows-only: non-SQL-expressible) ----
     def sosi_parse_objects(spark, sf):

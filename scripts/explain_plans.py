@@ -70,6 +70,11 @@ def main() -> int:
             ("MapInArrow" in sections[-2][1] or "ArrowEvalPython" in sections[-2][1])
             and "BatchEvalPython" not in sections[-2][1],
         "top-k is TakeOrderedAndProject": "TakeOrderedAndProject" in sections[5][1],
+        "tile join broadcasts media (zoom fan-out stays map-side)":
+            "BroadcastHashJoin" in sections[-1][1],
+        "tile cell math is JVM (no Python eval in tile plan)":
+            "ArrowEvalPython" not in sections[-1][1]
+            and "BatchEvalPython" not in sections[-1][1],
     }
     for k, v in checks.items():
         print(("PASS " if v else "FAIL ") + k)

@@ -35,6 +35,43 @@ def test_windowed_event_counts(spark):
     assert total == ev.count()  # batch mode: no late-data drops
 
 
+def test_stream_dedup_exact_stateful(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates across micro-batches
+    are dropped by keyed state (first-seen-wins), novel docs pass."""
+    from topo2osm_spark.schema import DOCUMENTS
+    from topo2osm_spark.streaming.stream import stream_dedup_exact
+
+    def doc(doc_id, text):
+        return (doc_id, [("sosi", text, None, 0)])
+
+    inp = str(tmp_path / "dd_in")
+    # batch 0: a, b(dup of a), c — one file; batch 1: d(dup of a), e
+    spark.createDataFrame([doc("a", "X"), doc("b", "X"), doc("c", "Y")],
+                          DOCUMENTS).coalesce(1) \
+        .write.mode("overwrite").parquet(inp)
+    spark.createDataFrame([doc("d", "X"), doc("e", "Z")],
+                          DOCUMENTS).coalesce(1) \
+        .write.mode("append").parquet(inp)
+
+    stream = (spark.readStream.schema(DOCUMENTS)
+              .option("maxFilesPerTrigger", 1).parquet(inp))
+    q = (stream_dedup_exact(stream)
+         .writeStream.format("memory").queryName("t_dedup_state")
+         .option("checkpointLocation", str(tmp_path / "dd_ck"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM t_dedup_state").collect()
+    # exactly one row per distinct fingerprint, all flagged first_seen
+    by_fp = {r["fingerprint"]: r for r in rows}
+    assert len(rows) == len(by_fp) == 3
+    assert all(r["first_seen"] for r in rows)
+    emitted_docs = {r["doc_id"] for r in rows}
+    assert "c" in emitted_docs and "e" in emitted_docs
+    assert ("a" in emitted_docs) or ("b" in emitted_docs)
+    assert "d" not in emitted_docs  # cross-batch duplicate suppressed
+
+
 def test_osm_xml_sink(spark, pipeline_out, tmp_path):
     from topo2osm_spark.sources import osm_xml
     nodes_xml = osm_xml.nodes_to_xml(pipeline_out["nodes"].limit(50).coalesce(1))

@@ -122,9 +122,17 @@ def synthesize_relations_for_split_rings(ways_split: DataFrame,
     outer members are the chain parts (OSM multipolygon convention).
     Rings already referenced by an existing relation (holed FLATEs)
     are excluded — their members were expanded in place."""
-    already = relations.select(
-        F.explode("members").alias("m")).select(
-        F.col("m.way_id").alias("parent_way_id")).distinct()
+    # bound the broadcast by the SPLIT-parent set (tiny), not the full
+    # relation-member set: only members that are split parents can veto
+    # a candidate, so the semi-join keeps `already` split-count-sized
+    # at any corpus scale.
+    split_parents = (ways_split.where(F.col("n_parts") > 1)
+                     .select("parent_way_id").distinct())
+    already = (relations.select(F.explode("members").alias("m"))
+               .select(F.col("m.way_id").alias("parent_way_id"))
+               .join(F.broadcast(split_parents), "parent_way_id",
+                     "left_semi")
+               .distinct())
     cand = (ways_split
             .where((F.col("n_parts") > 1) & F.col("closed") & F.col("emit"))
             .join(F.broadcast(already), "parent_way_id", "left_anti"))

@@ -108,8 +108,12 @@ def tile_vector_join(media: DataFrame, vector_cells: DataFrame,
     the global raster<->vector alignment (any way touching the tile);
     at scale that output is quadratic in dense areas — callers must
     aggregate (e.g. counts per tile) rather than materialize pairs."""
-    keys = ["doc_id", "way_id", "cell"] if per_document else ["way_id", "cell"]
-    vc = vector_cells.dropDuplicates(keys)
+    # NO pre-dedup of vector_cells: deduplicating (doc, way, cell)
+    # before the fan-out costs a full shuffle of every way node; the
+    # duplicates only multiply cheap map-side codegen rows, and the
+    # output dropDuplicates (match-sized, small) already guarantees
+    # uniqueness.
+    vc = vector_cells
     # one ancestor key per distinct zoom actually present — derived
     # LAZILY from the media side (broadcast cross-join on the tiny
     # distinct-zoom set; z is bounded by VECTOR_RES so |zdf| <= 15).

@@ -5,11 +5,13 @@ Reimplements the reference converter's three passes
 DataFrame DAG:
 
   S1 posexplode(spans), kind routing          — narrow
-  S2 mapInArrow SOSI tokenize                 — narrow, Py boundary 1
-  S3 pandas_udf UTM->WGS84                    — narrow, Py boundary 2
-  S4 ring assembly join+groupBy               — shuffle, Py boundary 3
+  S2+S3+S4 FUSED mapInArrow: SOSI tokenize,
+    UTM->WGS84, span-local ring assembly      — ONE narrow Py boundary
+    (a FLATE references only its own span's curves, so assembly needs
+    no shuffle; see sources/sosi.tokenize_project_assemble_spans)
   S5 way-node explode, quantize, node dedup   — shuffle (hash agg)
-  S6 kNN snap (cell join + label propagation) — shuffle
+  S6 kNN snap (binned JVM pair-gen + min-label
+     propagation over the edge set)           — shuffle
   S7 way re-collect (sorted by pos)           — shuffle
   S8 broadcast tag join                       — no shuffle
   S9 PIP membership + raster<->vector tile join — cell equi-joins
@@ -106,7 +108,17 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
             df, _ = warehouse.stage(df, name, fp, resume=resume)
             ck_seq.append(fp)
         elif persist:
-            df = df.persist(level)
+            # lazy localCheckpoint, not plain persist: persist keeps
+            # the full logical lineage, so every downstream operation
+            # re-analyzes (and every action re-optimizes) a plan that
+            # grows with pipeline depth — measured ~50s of driver-side
+            # Catalyst time per run at ANY data size, a fixed cost that
+            # caps scaling efficiency. Checkpointing truncates the plan
+            # to a leaf at each stage boundary (the warehouse branch
+            # above gets the same truncation from its parquet
+            # write+re-read). Storage level as configured (DISK_ONLY
+            # locally — see persist_level note).
+            df = df.localCheckpoint(eager=False, storageLevel=level)
         return df
 
     spans = explode_spans(docs)
@@ -346,8 +358,7 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
             spans.where(F.col("kind") == "media").select("doc_id", "media_ref"))
         vector_cells = (way_nodes
                         .withColumn("cell", tiles.cell_at_vector_res("lat", "lon"))
-                        .select("doc_id", "way_id", "cell")
-                        .dropDuplicates(["doc_id", "way_id", "cell"]))
+                        .select("doc_id", "way_id", "cell"))
         out["tile_assignments"] = tiles.tile_vector_join(media, vector_cells)
 
     return out

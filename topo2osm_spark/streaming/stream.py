@@ -53,6 +53,72 @@ def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
                     "n", "sum_value"))
 
 
+def stream_dedup_exact(docs: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    first-seen-wins exact dedup over a growing documents stream.
+
+    State is keyed by the normalized content fingerprint (md5 of the
+    concatenated text spans — same normalization as the batch
+    operators/dedup.exact path); the first document carrying a
+    fingerprint is emitted with n_dups=0, later arrivals only bump the
+    state counter and emit nothing. This is the streaming face of the
+    training-data dedup suite: run it in front of a corpus sink and
+    only novel documents flow through.
+
+    State size is one (long, string) per DISTINCT document — bounded
+    by corpus novelty, not stream length. No timeout: dedup identity
+    must persist for the life of the stream (a TTL would re-admit old
+    duplicates); for bounded-retention deployments pass the state
+    through GroupStateTimeout.ProcessingTimeTimeout instead."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("fingerprint string, doc_id string, n_spans int, "
+                  "first_seen boolean")
+    state_schema = "n_seen long, first_doc string"
+
+    def dedup_fn(key, pdfs, state):
+        fp = key[0]
+        n_new, first_doc, emit = 0, None, []
+        for pdf in pdfs:
+            for doc_id, n_spans in zip(pdf["doc_id"], pdf["n_spans"]):
+                n_new += 1
+                if first_doc is None:
+                    first_doc = doc_id
+                    first_spans = int(n_spans)
+        if state.exists:
+            (n_seen, first) = state.get
+            state.update((n_seen + n_new, first))
+        else:
+            state.update((n_new, first_doc))
+            emit.append({"fingerprint": fp, "doc_id": first_doc,
+                         "n_spans": first_spans, "first_seen": True})
+        yield pd.DataFrame(emit, columns=["fingerprint", "doc_id",
+                                          "n_spans", "first_seen"])
+
+    if "spans" in docs.columns:       # geo documents (input_hint shape)
+        fingered = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.size("spans").alias("n_spans"),
+            F.md5(F.concat_ws(
+                "\x1f",
+                F.transform(F.array_sort(F.transform(
+                    "spans", lambda s: F.struct(s["offset"].alias("offset"),
+                                                s["text"].alias("text")))),
+                    lambda s: F.coalesce(s["text"], F.lit(""))))).alias("fingerprint"))
+    else:                             # text corpus (documents table)
+        from topo2osm_spark.functions.text import fingerprint_md5
+        fingered = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit(1).alias("n_spans"),
+            fingerprint_md5(F.coalesce(F.col("text"), F.lit("")))
+            .alias("fingerprint"))
+    return (fingered.groupBy("fingerprint")
+            .applyInPandasWithState(dedup_fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.NoTimeout))
+
+
 def run_stream_to_memory(spark: SparkSession, input_dir: str,
                          name: str = "stream_objects") -> DataFrame:
     """Drive the streaming prefix to completion against a static dir
