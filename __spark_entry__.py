@@ -446,6 +446,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_topk(e, _QUERY_VEC, k=10)
     q["ann_topk_lsh"] = ann_topk_lsh
 
+    def ann_topk_ivf(spark, sf):  # full oracle: deterministic centroids
+        _tune(spark)
+        from topo2osm_spark.operators.similarity import ivf_topk
+        e = _t(spark, sf, "embeddings")
+        return ivf_topk(e, _QUERY_VEC, k=10)
+    q["ann_topk_ivf"] = ann_topk_ivf
+
     # ---- multimodal plumbing (rows-only; REAL numpy PPM decode over
     # deterministic ref-derived payloads) ----
     def media_decode(spark, sf):
@@ -821,6 +828,30 @@ def oracle_sql() -> dict[str, str]:
                 list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
                 list_transform(b.embedding, x -> CAST(x AS DOUBLE))) * 10000 + 0.5) / 10000 >= 0.35
         ORDER BY a, b"""
+
+    sql["ann_topk_ivf"] = """
+        WITH q AS (SELECT [{qv}]::DOUBLE[] AS qvec),
+        c AS (SELECT vec_id AS cid,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+              FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT 16),
+        assign AS (SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_cosine_similarity(list_transform(e.embedding,
+                       x -> CAST(x AS DOUBLE)), c.cvec) DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+        probes AS (SELECT c.cid FROM c, q
+                   ORDER BY list_cosine_similarity(cvec, qvec) DESC, cid
+                   LIMIT 4)
+        SELECT e.vec_id,
+               floor(list_cosine_similarity(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE)), qvec) * 10000 + 0.5) / 10000 AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id IN (SELECT vec_id FROM assign
+                           WHERE cid IN (SELECT cid FROM probes))
+        ORDER BY cosine DESC, vec_id LIMIT 10""".replace(
+        "{qv}", ", ".join(str(((i * 37) % 19 - 9) / 10.0) for i in range(64)))
 
     sql["ann_topk_bruteforce"] = """
         WITH q AS (SELECT [{qv}]::DOUBLE[] AS qvec)

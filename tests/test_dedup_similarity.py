@@ -126,6 +126,26 @@ def test_text_functions(spark):
     assert r["lang"] in ("vowel-heavy", "latin-balanced", "consonant-heavy")
 
 
+def test_ivf_topk_matches_oracle_and_recall(spark):
+    """IVF ANN: Spark result row-set equals the DuckDB oracle (same
+    deterministic md5-sampled centroids + argmax assignment), and the
+    probed scan keeps reasonable recall vs exact brute force."""
+    import duckdb
+    import __spark_entry__ as e
+    sf = "/root/testdata/sf0.001"
+    got = [(r["vec_id"], r["cosine"])
+           for r in e.queries()["ann_topk_ivf"](spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    want = [tuple(r) for r in con.execute(e.oracle_sql()["ann_topk_ivf"]).fetchall()]
+    assert [(int(a), round(b, 4)) for a, b in got] == \
+           [(int(a), round(b, 4)) for a, b in want]
+    exact = {r["vec_id"] for r in
+             e.queries()["ann_topk_bruteforce"](spark, sf).collect()}
+    ivf_ids = {v for v, _ in got}
+    assert len(ivf_ids & exact) >= 3  # 4/16 probes: partial recall ok
+
+
 def test_media_decode_stub(spark):
     from topo2osm_spark.operators.media import decode_media, frame_sample
     media = spark.createDataFrame(

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 - brute-force cosine top-k: the exact baseline. Dot product and norms
   via JVM higher-order functions (zip_with/aggregate) in double
   precision — no Python in the scan; top-k via orderBy+limit with a
@@ -9,6 +9,12 @@ Two paths:
   matrix) assign each vector to a bucket; the query probes its own
   bucket plus hamming-1 neighbors. Sub-linear candidate set — the
   100 TB path; recall traded for scan cost.
+- IVF ANN: inverted-file index with DETERMINISTIC training-free
+  centroids (the n vectors with the smallest md5(id) — a seedless
+  pseudo-random sample both Spark and a SQL oracle can reproduce);
+  vectors partition by nearest centroid, the query scans only its
+  top-P probe lists. At scale the assignment is written once as a
+  partition column and probing becomes partition pruning.
 """
 
 from __future__ import annotations
@@ -74,6 +80,79 @@ def query_buckets(query: list[float], n_planes: int = N_PLANES) -> list[int]:
     for i, s in enumerate(signs):
         b |= int(s) << i
     return [b] + [b ^ (1 << i) for i in range(n_planes)]
+
+
+N_CENTROIDS = 16
+N_PROBES = 4
+
+
+def ivf_centroids(embs: DataFrame, n_centroids: int = N_CENTROIDS,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Training-free deterministic centroids: the n_centroids vectors
+    with the smallest md5(cast(id as string)) — a fixed pseudo-random
+    sample reproducible in any engine (no k-means iterations, no
+    seed plumbing). Good list balance for near-isotropic embeddings;
+    swap in k-means centroids at scale without changing the query."""
+    return (embs.select(F.col(id_col).alias("cid"),
+                        F.col(vec_col).alias("cvec"),
+                        F.md5(F.col(id_col).cast("string")).alias("_h"))
+            .orderBy("_h", "cid").limit(n_centroids).drop("_h"))
+
+
+def _cos_cols(v, c):
+    """cosine of two array columns, double precision, left-to-right
+    summation (bit-compatible with the naive SQL mirror)."""
+    vd = F.transform(v, lambda x: x.cast("double"))
+    cd = F.transform(c, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(vd, cd, lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    nv = F.sqrt(F.aggregate(F.transform(vd, lambda x: x * x),
+                            F.lit(0.0), lambda a, x: a + x))
+    nc = F.sqrt(F.aggregate(F.transform(cd, lambda x: x * x),
+                            F.lit(0.0), lambda a, x: a + x))
+    return dot / (nv * nc)
+
+
+def ivf_assign(embs: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, nearest centroid id) for every vector: broadcast the tiny
+    centroid set, cosine via JVM HOFs, argmax with a deterministic
+    tie-break (highest sim, then lowest cid) via max_by on a struct."""
+    sim = _cos_cols(F.col(vec_col), F.col("cvec"))
+    fan = embs.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
+    return (fan.select(id_col, "cid", sim.alias("sim"))
+            .groupBy(id_col)
+            .agg(F.max_by("cid", F.struct(F.col("sim"),
+                                          (-F.col("cid")).alias("nc")))
+                 .alias("cid")))
+
+
+def ivf_topk(embs: DataFrame, query: list[float], k: int = 10,
+             n_centroids: int = N_CENTROIDS, n_probes: int = N_PROBES,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: rank centroids against the query, scan only the
+    vectors assigned to the top n_probes lists. Every step is a
+    DataFrame op (broadcast joins + HOF math); on a table partitioned
+    by the assignment column the probe filter is partition pruning."""
+    cents = ivf_centroids(embs, n_centroids, id_col, vec_col)
+    probes = (cents
+              .select("cid", cosine_col(F.col("cvec"), query).alias("qs"))
+              .orderBy(F.desc("qs"), "cid").limit(n_probes)
+              .select("cid"))
+    assign = ivf_assign(embs, cents, id_col, vec_col)
+    # cand is ~n_probes/n_centroids of the corpus — data-proportional,
+    # so NO broadcast hint here (AQE picks the join strategy; on a
+    # partitioned-by-cid table this whole join disappears into
+    # partition pruning).
+    cand = (assign.join(F.broadcast(probes), "cid", "left_semi")
+            .select(id_col))
+    return (embs.join(cand, id_col, "left_semi")
+            .withColumn("cosine", dround(cosine_col(F.col(vec_col), query)))
+            .select(id_col, "cosine")
+            .orderBy(F.desc("cosine"), F.col(id_col))
+            .limit(k))
 
 
 def lsh_topk(embs: DataFrame, query: list[float], k: int = 10,
