@@ -34,10 +34,18 @@ def main() -> int:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--partitions", type=int, default=None,
                     help="input partitions for synthesized corpus")
+    ap.add_argument("--parse-partitions", type=int, default=None,
+                    help="partitions for the parse rebalance (pin this "
+                         "when comparing parallelism levels so both run "
+                         "the IDENTICAL job; Zipf-head skew makes coarse "
+                         "waves straggle at higher parallelism)")
     ap.add_argument("--aqe", action="store_true",
                     help="enable AQE (recommended on real clusters; its "
                          "per-stage re-optimization costs 1.5-2x at sandbox "
                          "scale, so local benches leave it off)")
+    ap.add_argument("--no-prefetch", action="store_true",
+                    help="disable background stage materialization "
+                         "(A/B probe for the plan/execute overlap)")
     ap.add_argument("--skip-counts", action="store_true",
                     help="skip post-write count jobs + metrics table "
                          "(scaling benches: removes fixed driver latency)")
@@ -79,7 +87,8 @@ def main() -> int:
         input_fp = fingerprint("synth", args.n_docs, 42, args.max_sosi)
     wh = None if args.no_checkpoint else Warehouse(spark, args.out)
     out = run_pipeline(spark, docs, warehouse=wh, resume=args.resume,
-                       input_fp=input_fp)
+                       input_fp=input_fp, prefetch=not args.no_prefetch,
+                       parse_partitions=args.parse_partitions)
 
     stage_secs: dict[str, float] = {}
     stage_secs["plan_build"] = round(time.monotonic() - t0, 2)

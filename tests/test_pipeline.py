@@ -241,3 +241,29 @@ def test_entity_ids_are_63_bit_non_negative(out):
     for r in out["relations"]:
         assert r["rel_id"] >= 0
         assert all(m["way_id"] >= 0 for m in r["members"])
+
+
+def test_snap_latitude_cap_guard(spark):
+    """Explicit max_abs_lat is barrier-free but LOUD: data beyond the
+    cap raises in the executor instead of silently under-merging; the
+    derive-by-agg path (max_abs_lat=None) handles the same data; and
+    at in-range latitudes both paths produce the same mapping."""
+    import pytest
+    from topo2osm_spark.operators import nodes as nodeops
+
+    near = spark.createDataFrame(
+        [(1, 65.0, 10.0), (2, 65.0 + 3e-7, 10.0 + 3e-7), (3, 66.0, 11.0)],
+        "node_id long, lat double, lon double")
+    m_cap = {(r["node_id"], r["canon_id"]) for r in
+             nodeops.snap_mapping(near, tol_m=0.5, max_abs_lat=72.0).collect()}
+    m_agg = {(r["node_id"], r["canon_id"]) for r in
+             nodeops.snap_mapping(near, tol_m=0.5, max_abs_lat=None).collect()}
+    assert m_cap == m_agg == {(2, 1)}
+
+    polar = spark.createDataFrame(
+        [(1, 80.1, 15.0), (2, 60.0, 10.0)],
+        "node_id long, lat double, lon double")
+    with pytest.raises(Exception, match="max_abs_lat"):
+        nodeops.snap_mapping(polar, tol_m=0.5, max_abs_lat=72.0).collect()
+    # derive path covers Svalbard without raising
+    assert nodeops.snap_mapping(polar, tol_m=0.5).count() == 0

@@ -87,26 +87,50 @@ def snap_mapping(nodes: DataFrame, tol_m: float = 0.5,
        distributed, no driver union-find.
 
     g_lon uses cos(max_abs_lat) so the bin guarantee holds at the
-    highest latitude PRESENT IN THE DATA: max_abs_lat=None (default)
-    derives it with one scalar max-agg over the (persisted) node table
-    — a metadata-cheap job, never a data collect — so Svalbard-latitude
-    input can no longer silently miss within-tolerance merges. Lower
-    latitudes just get slightly over-wide bins (more candidates, same
-    answer). Dense-coast hot bins stay small because g is ~2 m.
+    highest latitude in the data. Two ways to establish that bound,
+    both loud — within-tolerance merges can never be missed silently:
+
+    - max_abs_lat=None (default): derive it with one scalar max-agg
+      over the (persisted) node table — a metadata-cheap job, never a
+      data collect. Semantically safest, but the .first() is a DRIVER
+      BARRIER: the whole upstream chain must materialize before any
+      downstream plan can even be built, serializing plan-building
+      with execution (a fixed cost that caps scaling efficiency).
+    - max_abs_lat=<cap>: barrier-free. The caller asserts a bound
+      (e.g. 72° covers mainland Norway) and the bins are computed for
+      that worst case; an executor-side guard raises on the first row
+      whose |lat| exceeds the cap, so polar data fails loudly with a
+      "pass a higher max_abs_lat" message instead of under-merging.
+
+    Lower latitudes than the bound just get slightly over-wide bins
+    (more candidates, same answer). Dense-coast hot bins stay small
+    because g is ~2 m.
     """
     import math
+    guard = max_abs_lat is not None
     if max_abs_lat is None:
         row = nodes.agg(F.max(F.abs(F.col("lat"))).alias("m")).first()
         max_abs_lat = min(float(row["m"] or 0.0) + 0.01, 89.0)
     g_lat = 4.0 * tol_m / _M_PER_DEG
     g_lon = 4.0 * tol_m / (_M_PER_DEG * max(math.cos(math.radians(max_abs_lat)), 0.05))
 
+    # the guard is folded into the bin key itself (the `by` floor), so
+    # it is evaluated for EVERY row — including singleton-bin rows that
+    # column pruning would otherwise drop — and cannot be optimized out.
+    lat_bin = F.col("lat")
+    if guard:
+        lat_bin = F.when(F.abs(F.col("lat")) <= F.lit(max_abs_lat), F.col("lat")) \
+                   .otherwise(F.raise_error(F.concat(
+                       F.lit("snap_mapping: |lat| "),
+                       F.abs(F.col("lat")).cast("string"),
+                       F.lit(f" exceeds max_abs_lat={max_abs_lat}; pass a "
+                             "higher max_abs_lat (or None to derive it)"))))
     binned = nodes.select(
         "node_id", "lat", "lon",
         F.explode(F.array(*[
             F.struct(
                 F.lit(oy * 2 + ox).alias("grid"),
-                F.floor(F.col("lat") / g_lat + oy * 0.5).alias("by"),
+                F.floor(lat_bin / g_lat + oy * 0.5).alias("by"),
                 F.floor(F.col("lon") / g_lon + ox * 0.5).alias("bx"))
             for oy in (0, 1) for ox in (0, 1)])).alias("b"))
 

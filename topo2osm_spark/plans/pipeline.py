@@ -29,6 +29,9 @@ resumes without recompute (op 43).
 
 from __future__ import annotations
 
+import queue
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from topo2osm_spark.functions.ids import content_id
@@ -36,6 +39,49 @@ from topo2osm_spark.operators import (assembly, nodes as nodeops, pip,
                                       split as splitops, tags, tiles)
 from topo2osm_spark.sources import sosi
 from topo2osm_spark.sources.warehouse import Warehouse, fingerprint
+
+
+class _Prefetcher:
+    """Overlaps driver-side plan building with executor compute.
+
+    Building this pipeline's plans costs real serial driver time
+    (Catalyst analysis + physical planning at every checkpoint
+    boundary — measured ~2-3s per boundary on the sandbox VM, ~16s
+    total) during which executors would otherwise sit idle. That is a
+    FIXED cost, identical at N and 4N cores, so it directly caps
+    scaling efficiency (Amdahl). The fix: as soon as a stage's lazy
+    localCheckpoint exists, enqueue it here; one daemon thread
+    materializes the queue IN ORDER (count() per stage) while the
+    main thread keeps building downstream plans. Dependency order is
+    preserved because stages are enqueued in topological order and
+    consumed sequentially; concurrent downstream actions on a stage
+    being materialized just block on the BlockManager's per-partition
+    locks rather than recomputing.
+    """
+
+    def __init__(self) -> None:
+        self._q: queue.Queue = queue.Queue()
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self) -> None:
+        while True:
+            df = self._q.get()
+            if df is None:
+                return
+            try:
+                df.count()
+            except Exception:
+                # materialization errors surface on the caller's own
+                # action with the full traceback; swallowing here only
+                # avoids a duplicate noisy report from the daemon.
+                pass
+
+    def submit(self, df: DataFrame) -> None:
+        self._q.put(df)
+
+    def close(self) -> None:
+        self._q.put(None)
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:
@@ -70,7 +116,9 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
                  persist_level: str = "DISK_ONLY",
                  input_fp: str | None = None,
                  max_way_nodes: int = splitops.MAX_WAY_NODES,
-                 parse_partitions: int | None = None) -> dict:
+                 parse_partitions: int | None = None,
+                 prefetch: bool = True,
+                 snap_max_abs_lat: float = 72.0) -> dict:
     """Full conversion; returns a dict of output DataFrames.
 
     input_fp: identity of the INPUT dataset, folded into the root of
@@ -97,6 +145,13 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     """
     from pyspark import StorageLevel
     level = getattr(StorageLevel, persist_level)
+    # prefetch=True starts materializing each checkpointed stage the
+    # moment its plan exists, overlapping the remaining driver-side
+    # plan building with executor compute (see _Prefetcher). Only the
+    # in-memory localCheckpoint path benefits; the warehouse path
+    # already materializes eagerly through its parquet writes.
+    pf = _Prefetcher() if (prefetch and warehouse is None and persist) \
+        else None
     # the input fingerprint is the ROOT of the stage-fingerprint chain:
     # every ck() below folds ck_seq, so a changed input invalidates all
     # downstream checkpoints transitively.
@@ -119,6 +174,8 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
             # write+re-read). Storage level as configured (DISK_ONLY
             # locally — see persist_level note).
             df = df.localCheckpoint(eager=False, storageLevel=level)
+            if pf is not None:
+                pf.submit(df)
         return df
 
     spans = explode_spans(docs)
@@ -204,9 +261,16 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     # persisted: 3 consumers (snap max-lat agg, snap_map, nodes_out)
     nodes_raw = ck(nodeops.dedup_nodes(all_points), "nodes_raw")
 
-    # S6: kNN tolerance snap
-    snap_map = ck(nodeops.snap_mapping(nodes_raw, tol_m=snap_tol_m),
-                  "snap_map", snap_tol_m)
+    # S6: kNN tolerance snap. The explicit latitude cap (default 72°,
+    # mainland-Norway bound; executor-side guard raises loudly on data
+    # beyond it) avoids snap_mapping's derive-by-agg DRIVER BARRIER:
+    # with the barrier, the upstream chain must fully materialize
+    # before the driver can build a single downstream plan — a fixed
+    # serial cost that caps N->4N scaling efficiency. Polar callers
+    # (Svalbard) pass snap_max_abs_lat explicitly.
+    snap_map = ck(nodeops.snap_mapping(nodes_raw, tol_m=snap_tol_m,
+                                       max_abs_lat=snap_max_abs_lat),
+                  "snap_map", snap_tol_m, snap_max_abs_lat)
     nodes_out = ck(nodeops.snap_nodes_table(nodes_raw, snap_map), "nodes")
 
     # S7: re-collect way node lists in position order through the snap
@@ -361,4 +425,6 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
                         .select("doc_id", "way_id", "cell"))
         out["tile_assignments"] = tiles.tile_vector_join(media, vector_cells)
 
+    if pf is not None:
+        pf.close()
     return out
