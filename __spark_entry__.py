@@ -264,6 +264,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .orderBy("user_id", "event_id"))
     q["window_lag_gap"] = window_lag_gap
 
+    # ---- temporal joins (ops 19, 20 — operators/temporal.py) ----
+    def asof_join_events(spark, sf):  # op 20: latest error <= each click
+        _tune(spark)
+        from topo2osm_spark.operators.temporal import asof_join
+        ev = _t(spark, sf, "events").where(F.col("user_id") < 40)
+        clicks = ev.where(F.col("event_type") == "click") \
+                   .select("event_id", "user_id", "ts")
+        errors = ev.where(F.col("event_type") == "error") \
+                   .select("user_id", "ts", "event_id")
+        return (asof_join(clicks, errors, key="user_id",
+                          right_payload=("event_id",))
+                .select("event_id", "user_id",
+                        F.col("asof_event_id").alias("err_event_id"),
+                        F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("err_ts_us"))
+                .orderBy("event_id"))
+    q["asof_join_events"] = asof_join_events
+
+    def range_join_events(spark, sf):  # op 19: clicks within 10min after error
+        _tune(spark)
+        from topo2osm_spark.operators.temporal import range_join_count
+        ev = _t(spark, sf, "events").where(F.col("user_id") < 40)
+        errors = ev.where(F.col("event_type") == "error") \
+                   .select("event_id", "user_id", "ts")
+        clicks = ev.where(F.col("event_type") == "click") \
+                   .select("user_id", "ts")
+        return (range_join_count(errors, clicks, key="user_id",
+                                 window_us=600_000_000,
+                                 count_alias="n_clicks")
+                .select("event_id", "user_id", "n_clicks")
+                .orderBy("event_id"))
+    q["range_join_events"] = range_join_events
+
     # ---- sorts / limits / top-k (ops 30, 32) ----
     def topk_orders(spark, sf):
         _tune(spark)
@@ -695,6 +727,30 @@ def oracle_sql() -> dict[str, str]:
                    lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id
             FROM events WHERE user_id < 20)
         WHERE prev_id IS NOT NULL ORDER BY user_id, event_id"""
+
+    sql["asof_join_events"] = """
+        WITH ev AS (SELECT * FROM events WHERE user_id < 40),
+        clicks AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+        errors AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error')
+        SELECT c.event_id, c.user_id,
+               e.event_id AS err_event_id,
+               epoch_us(e.ts) AS err_ts_us
+        FROM clicks c ASOF LEFT JOIN errors e
+          ON c.user_id = e.user_id AND c.ts >= e.ts
+        ORDER BY c.event_id"""
+
+    sql["range_join_events"] = """
+        WITH ev AS (SELECT * FROM events WHERE user_id < 40),
+        errors AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+        clicks AS (SELECT user_id, ts FROM ev WHERE event_type = 'click')
+        SELECT e.event_id, e.user_id,
+               CAST(count(c.user_id) AS BIGINT) AS n_clicks
+        FROM errors e LEFT JOIN clicks c
+          ON e.user_id = c.user_id
+         AND epoch_us(c.ts) >= epoch_us(e.ts)
+         AND epoch_us(c.ts) < epoch_us(e.ts) + 600000000
+        GROUP BY e.event_id, e.user_id
+        ORDER BY e.event_id"""
 
     sql["topk_orders"] = """
         SELECT o_orderkey, round(o_totalprice, 2) AS price

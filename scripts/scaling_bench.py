@@ -70,15 +70,21 @@ def submit(zpath: str, master: str, input_path: str, shuffle: int = 16,
         "--skip-counts",
         "--master", master, "--shuffle-partitions", str(shuffle),
     ]
-    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
-                          timeout=3600)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    shutil.rmtree(local_dir, ignore_errors=True)
-    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
-    if not lines:
-        sys.stderr.write(proc.stdout[-1500:] + proc.stderr[-1500:])
+    try:
+        for attempt in (0, 1):
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  cwd=REPO, timeout=3600)
+            lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+            if lines:
+                return json.loads(lines[-1])
+            # transient sandbox failures (python worker killed under
+            # host memory pressure from co-tenants): one retry
+            sys.stderr.write(f"[retry {attempt}] no JSON from {master}\n"
+                             + proc.stdout[-800:] + proc.stderr[-800:])
         raise RuntimeError(f"no JSON from {master} on {input_path}")
-    return json.loads(lines[-1])
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(local_dir, ignore_errors=True)
 
 
 def ensure_corpus(n_docs: int) -> tuple[str, list[str]]:
