@@ -37,7 +37,8 @@ def main() -> int:
 
     q = e.queries()
     for name in ("scan_filter_project", "agg_tpch_q1", "broadcast_join_dims",
-                 "window_rownum", "dedup_minhash_lsh", "ann_topk_bruteforce"):
+                 "window_rownum", "dedup_minhash_lsh", "ann_topk_bruteforce",
+                 "ann_topk_ivf", "asof_join_events", "range_join_events"):
         sections.append((name, grab(q[name](spark, sf))))
 
     # simple-mode plan for codegen detection (the `*(n)` markers —
@@ -70,6 +71,10 @@ def main() -> int:
             ("MapInArrow" in sections[-2][1] or "ArrowEvalPython" in sections[-2][1])
             and "BatchEvalPython" not in sections[-2][1],
         "top-k is TakeOrderedAndProject": "TakeOrderedAndProject" in sections[5][1],
+        "temporal joins stay JVM (no Python nodes)":
+            all("Python" not in s for _, s in sections[7:9]),
+        "range join is an equi-join (no NL/cartesian)":
+            "SortMergeJoin" in sections[8][1] or "HashJoin" in sections[8][1],
         "tile join broadcasts media (zoom fan-out stays map-side)":
             "BroadcastHashJoin" in sections[-1][1],
         "tile cell math is JVM (no Python eval in tile plan)":
