@@ -142,10 +142,11 @@ def ivf_topk(embs: DataFrame, query: list[float], k: int = 10,
               .orderBy(F.desc("qs"), "cid").limit(n_probes)
               .select("cid"))
     assign = ivf_assign(embs, cents, id_col, vec_col)
-    # cand is ~n_probes/n_centroids of the corpus — data-proportional,
-    # so NO broadcast hint here (AQE picks the join strategy; on a
-    # partitioned-by-cid table this whole join disappears into
-    # partition pruning).
+    # probes is n_probes rows -> always broadcast. cand, however, is
+    # ~n_probes/n_centroids of the corpus — data-proportional — so the
+    # embs⋈cand join below carries NO broadcast hint (AQE picks the
+    # strategy; on a table partitioned by cid the probe filter becomes
+    # partition pruning and this join disappears).
     cand = (assign.join(F.broadcast(probes), "cid", "left_semi")
             .select(id_col))
     return (embs.join(cand, id_col, "left_semi")
