@@ -52,18 +52,23 @@ def build_zip() -> str:
 
 def submit(zpath: str, master: str, input_path: str, shuffle: int = 16,
            mem: str = "12g") -> dict:
-    out_dir = tempfile.mkdtemp(prefix="scale_wh_", dir="/dev/shm")
-    # spark.local.dir on tmpfs: the sandbox's virtual disk saturates
-    # under concurrent shuffle/persist writers (4 executors thrash);
-    # a real cluster has per-node local disks, tmpfs is the honest
-    # sandbox equivalent.
-    local_dir = tempfile.mkdtemp(prefix="spark-local-", dir="/dev/shm")
+    # scratch location: tmpfs (/dev/shm) is fastest but its pages count
+    # against the host's STRICT overcommit CommitLimit (66 GB here), and
+    # large-corpus runs (256k docs: persist blocks + shuffle + outputs)
+    # crashed Python workers under that pressure. Default to the real
+    # disk for single-JVM runs; SPARK_GRAFT_SCRATCH=/dev/shm restores
+    # tmpfs for the 4-concurrent-executor diagnostics where virtual-disk
+    # saturation is the bigger distortion.
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp")
+    out_dir = tempfile.mkdtemp(prefix="scale_wh_", dir=scratch)
+    local_dir = tempfile.mkdtemp(prefix="spark-local-", dir=scratch)
     cmd = [
         "spark-submit", "--master", master,
         "--driver-memory", mem,
         "--conf", "spark.ui.enabled=false",
         "--conf", f"spark.local.dir={local_dir}",
         "--conf", f"spark.sql.shuffle.partitions={shuffle}",
+        "--conf", "spark.python.worker.faulthandler.enabled=true",
         "--py-files", zpath,
         os.path.join(REPO, "jobs", "convert.py"),
         "--input", input_path, "--out", out_dir, "--no-checkpoint",
