@@ -21,6 +21,13 @@ def build_session(app: str = "topo2osm_spark", master: str | None = None,
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+         # several broadcast sides here are SMALL SETS WITH EXPENSIVE
+         # LINEAGE (e.g. the snap hot-bin probe computes the full parse
+         # chain when caches are cold): the 300s default
+         # broadcastTimeout kills such jobs at scale — the failure
+         # surfaces as "Python worker exited unexpectedly" when the
+         # cancelled stage tears down its Arrow workers.
+         .config("spark.sql.broadcastTimeout", "3600")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
          .config("spark.ui.enabled", "false"))
@@ -37,6 +44,7 @@ def tune_for_session(spark: SparkSession) -> None:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.broadcastTimeout": "3600",
     }.items():
         try:
             spark.conf.set(k, v)
