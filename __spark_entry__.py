@@ -461,6 +461,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash_pairs(d, max_hamming=12).orderBy("a", "b")
     q["dedup_simhash"] = dedup_simhash
 
+    def dedup_minhash_md5(spark, sf):
+        # oracle-mirrorable variant: seeded 60-bit md5 hashes + string
+        # band keys — DuckDB reproduces the ENTIRE minhash+LSH pipeline
+        # bit-for-bit (production path keeps xxhash64).
+        _tune(spark)
+        from topo2osm_spark.operators.dedup import minhash_lsh_dedup
+        d = _t(spark, sf, "documents")
+        return (minhash_lsh_dedup(d, threshold=0.5, n_hashes=16,
+                                  mirrorable=True)
+                .select("a", "b", "est_jaccard").orderBy("a", "b"))
+    q["dedup_minhash_md5"] = dedup_minhash_md5
+
+    def dedup_simhash_md5(spark, sf):
+        # oracle-mirrorable variant: 60-bit md5 token hashes, 6 bands
+        # x 10 bits — DuckDB reproduces fingerprints, banding and
+        # hamming exactly.
+        _tune(spark)
+        from topo2osm_spark.operators.dedup import simhash_pairs
+        d = _t(spark, sf, "documents")
+        return (simhash_pairs(d, max_hamming=12, n_bands=6, n_bits=60,
+                              mirrorable=True)
+                .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+                .orderBy("a", "b"))
+    q["dedup_simhash_md5"] = dedup_simhash_md5
+
     # ---- similarity search ----
     _QUERY_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
 
@@ -610,6 +635,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out["echo"].select(
             "doc_id", F.to_json("spans_sorted").alias("spans_json"))
     q["span_echo"] = span_echo
+
+    def span_sort_sig(spark, sf):
+        # SQL-mirrorable surface for op 31 (span-order sort): spans are
+        # synthesized from the driver's flat documents table (token i
+        # gets a pseudo-random md5-derived offset), sorted by offset
+        # with array_sort, then reduced to an order-sensitive md5
+        # signature. DuckDB reproduces the expected sequence with
+        # string_agg(... ORDER BY offset) — an independent ordering
+        # implementation — so a hash match proves the sort semantics.
+        _tune(spark)
+        from topo2osm_spark.operators.dedup import md5h
+        d = _t(spark, sf, "documents")
+        toks = F.slice(F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "),
+            1, 24)
+        spans = F.transform(toks, lambda w, i: F.struct(
+            md5h(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                          i.cast("string"))).alias("offset"),
+            w.alias("tok")))
+        ordered = F.array_sort(spans)
+        return d.select(
+            "doc_id",
+            F.md5(F.concat_ws("\x1e", F.transform(
+                ordered, lambda s: s["tok"]))).alias("sig")).orderBy("doc_id")
+    q["span_sort_sig"] = span_sort_sig
 
     def integrity_issues(spark, sf):
         out = _geo_outputs(spark, sf)
@@ -875,6 +925,90 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON inter.b = sb.doc_id
         WHERE floor(i * 1.0 / (sa.n + sb.n - i) * 10000 + 0.5) / 10000 >= 0.8
         ORDER BY a, b"""
+
+    # dedup_minhash_md5: DuckDB mirrors the ENTIRE minhash+LSH pipeline
+    # (seeded 60-bit md5 hashes, 16 hashes, 4 bands x 4 rows, threshold
+    # 0.5) bit-for-bit. The aggregate/CASE expansions are generated.
+    _sig_cols = ",\n                ".join(
+        f"min(('0x' || substr(md5(shingle || ':{i}'), 1, 15))::BIGINT) AS h{i}"
+        for i in range(16))
+    _band_case = " ".join(
+        f"WHEN {b} THEN " + " || ',' || ".join(
+            f"h{4 * b + r}::VARCHAR" for r in range(4))
+        for b in range(4))
+    _agree = " + ".join(f"(sa.h{i} = sb.h{i})::INT" for i in range(16))
+    sql["dedup_minhash_md5"] = rf"""
+        WITH toks AS (
+          SELECT doc_id, string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(0, greatest(len(tk) - 3, 0) + 1),
+                   i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle
+          FROM toks),
+        shf AS (SELECT doc_id, shingle FROM sh WHERE length(shingle) > 0),
+        sig AS (SELECT doc_id,
+                {_sig_cols}
+                FROM shf GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, band, CASE band {_band_case} END AS bkey
+          FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+        pairs AS (
+          SELECT l.doc_id AS a, r.doc_id AS b
+          FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey
+          WHERE l.doc_id < r.doc_id GROUP BY 1, 2)
+        SELECT p.a, p.b, round(({_agree}) / 16.0, 4) AS est_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.a
+        JOIN sig sb ON sb.doc_id = p.b
+        WHERE ({_agree}) / 16.0 >= 0.5
+        ORDER BY a, b"""
+
+    # dedup_simhash_md5: DuckDB mirrors fingerprints (60-bit md5 token
+    # hash, per-bit majority votes), 6x10-bit banding and hamming.
+    _votes = ",\n                ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(60))
+    _fp = "\n                + ".join(
+        f"(CASE WHEN v{b} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {b})"
+        for b in range(60))
+    sql["dedup_simhash_md5"] = rf"""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+          FROM documents),
+        tk AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+               FROM t WHERE length(tok) > 0),
+        votes AS (SELECT doc_id,
+                {_votes}
+                FROM tk GROUP BY doc_id),
+        fp AS (SELECT doc_id,
+                {_fp} AS fp
+               FROM votes),
+        qb AS (SELECT doc_id, fp, band, (fp >> (10 * band)) & 1023 AS qv
+               FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5]) AS band) b),
+        cand AS (SELECT l.doc_id AS a, r.doc_id AS b, l.fp AS fa, r.fp AS fb
+                 FROM qb l JOIN qb r ON l.band = r.band AND l.qv = r.qv
+                 WHERE l.doc_id < r.doc_id GROUP BY 1, 2, 3, 4)
+        SELECT a, b, bit_count(xor(fa, fb))::INT AS hamming
+        FROM cand WHERE bit_count(xor(fa, fb)) <= 12
+        ORDER BY a, b"""
+
+    # span_sort_sig: an INDEPENDENT ordering implementation (string_agg
+    # ORDER BY) reproduces Spark's array_sort-by-offset sequence.
+    sql["span_sort_sig"] = r"""
+        WITH t AS (
+          SELECT doc_id, string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[1:24] AS tk
+          FROM documents),
+        u AS (
+          SELECT doc_id, i, tk[i+1] AS tok,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR),
+                                 1, 15))::BIGINT AS off
+          FROM t CROSS JOIN (SELECT unnest(range(0, 24)) AS i) ix
+          WHERE i < len(tk))
+        SELECT doc_id, md5(string_agg(tok, chr(30) ORDER BY off, tok)) AS sig
+        FROM u GROUP BY doc_id ORDER BY doc_id"""
 
     sql["dedup_embedding_cosine"] = """
         SELECT a.vec_id AS a, b.vec_id AS b

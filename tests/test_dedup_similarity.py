@@ -72,6 +72,49 @@ def test_simhash_hamming(spark):
     assert (1, 3) not in pairs
 
 
+def test_minhash_mirrorable_matches_duckdb(spark):
+    """The md5-hash minhash variant is bit-identical in DuckDB — the
+    engine-portability contract behind the dedup_minhash_md5 oracle."""
+    import duckdb
+    from topo2osm_spark.operators.dedup import md5h, minhash_lsh_dedup
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("theta", "thetaX", 1)
+    far = "one two three four five six seven eight nine ten " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string")
+    pairs = {(r["a"], r["b"]): r["est_jaccard"]
+             for r in minhash_lsh_dedup(df, threshold=0.5, n_hashes=16,
+                                        mirrorable=True).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # the primitive: Spark md5h == DuckDB's hex-slice cast, per seed
+    got = df.select(md5h(F.col("text"), 7).alias("h")).orderBy("h").collect()
+    want = duckdb.sql(
+        "SELECT ('0x' || substr(md5(t || ':7'), 1, 15))::BIGINT AS h "
+        "FROM (VALUES (?), (?), (?)) v(t) ORDER BY h",
+        params=[base, near, far]).fetchall()
+    assert [r["h"] for r in got] == [r[0] for r in want]
+
+
+def test_simhash_mirrorable_60bit(spark):
+    """md5 simhash variant: fingerprints fit in 60 bits and near-dup
+    detection still works with 6x10-bit banding."""
+    from topo2osm_spark.operators.dedup import (MD5_BITS,
+                                                simhash_fingerprints,
+                                                simhash_pairs)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("kappa", "kappaX", 1)
+    far = "one two three four five six seven eight nine ten " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string")
+    fps = simhash_fingerprints(df, n_bits=MD5_BITS, mirrorable=True).collect()
+    assert all(0 <= r["fp"] < (1 << MD5_BITS) for r in fps)
+    pairs = {(r["a"], r["b"]) for r in simhash_pairs(
+        df, max_hamming=16, n_bands=6, n_bits=MD5_BITS,
+        mirrorable=True).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
 def test_token_jaccard_exact(spark):
     from topo2osm_spark.operators.dedup import token_jaccard_pairs
     df = spark.createDataFrame(

@@ -29,6 +29,19 @@ from topo2osm_spark.functions.text import dround, fingerprint_md5, normalized
 N_HASHES = 32
 BAND_ROWS = 4  # 8 bands x 4 rows
 
+# --- engine-portable hashing -------------------------------------------
+# xxhash64 is Spark-only; for oracle-mirrorable variants we derive a
+# 60-bit integer from the leading 15 hex digits of md5 — bit-identical
+# in any engine with md5 (DuckDB mirror:
+#   ('0x' || substr(md5(s || ':' || seed), 1, 15))::BIGINT ).
+MD5_BITS = 60
+
+
+def md5h(col, seed: int | None = None):
+    """60-bit integer hash from md5, identical across engines."""
+    s = col if seed is None else F.concat(col, F.lit(f":{seed}"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
@@ -55,28 +68,44 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       n_hashes: int = N_HASHES) -> DataFrame:
+                       n_hashes: int = N_HASHES,
+                       mirrorable: bool = False) -> DataFrame:
     """(id, sig array<long>): sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). All hashing JVM-side; one shuffle."""
+    hash(shingle, seed=i). All hashing JVM-side; one shuffle.
+
+    mirrorable=False (production): xxhash64 — fastest JVM path.
+    mirrorable=True: seeded md5h — bit-identical in DuckDB, so the
+    whole minhash+LSH pipeline gets a full SQL oracle."""
     sh = shingles(docs, text_col)
-    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+    hasher = ((lambda c, i: md5h(c, i)) if mirrorable
+              else (lambda c, i: F.xxhash64(c, F.lit(i))))
+    aggs = [F.min(hasher(F.col("shingle"), i)).alias(f"h{i}")
             for i in range(n_hashes)]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(id_col, F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                        band_rows: int = BAND_ROWS) -> DataFrame:
+                        band_rows: int = BAND_ROWS,
+                        mirrorable: bool = False) -> DataFrame:
     """Banded LSH: docs agreeing on ALL rows of any band become a
     candidate pair. Pairs are generated per bucket (self-join on
-    (band, band_hash)) — the classic sub-quadratic shape."""
-    # band hash = xxhash64 over the band's slice of the signature
-    bands = (sigs.withColumn(
+    (band, band_hash)) — the classic sub-quadratic shape.
+
+    mirrorable=True uses the band's comma-joined value string as the
+    bucket key (identical bucketing semantics, engine-portable);
+    production hashes it with xxhash64 to keep the shuffle key fixed
+    width."""
+    bands = sigs.withColumn(
         "band", F.explode(F.sequence(
             F.lit(0), F.floor(F.size("sig") / band_rows).cast("int") - 1)))
-        .withColumn("band_hash", F.xxhash64(
-            F.slice("sig", F.col("band") * band_rows + 1, band_rows).cast("string"),
-            "band")))
+    band_vals = F.slice("sig", F.col("band") * band_rows + 1, band_rows)
+    if mirrorable:
+        bands = bands.withColumn("band_hash", F.concat_ws(
+            ",", F.transform(band_vals, lambda x: x.cast("string"))))
+    else:
+        bands = bands.withColumn(
+            "band_hash", F.xxhash64(band_vals.cast("string"), "band"))
     left = bands.select(F.col(id_col).alias("a"), "band", "band_hash")
     right = bands.select(F.col(id_col).alias("b"), "band", "band_hash")
     return (left.join(right, ["band", "band_hash"])
@@ -97,36 +126,45 @@ def minhash_similarity(sigs: DataFrame, pairs: DataFrame,
 
 
 def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", threshold: float = 0.7) -> DataFrame:
+                      id_col: str = "doc_id", threshold: float = 0.7,
+                      n_hashes: int = N_HASHES,
+                      mirrorable: bool = False) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline -> (a, b, est_jaccard)."""
-    sigs = minhash_signatures(docs, text_col, id_col)
-    pairs = lsh_candidate_pairs(sigs, id_col)
+    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, mirrorable)
+    pairs = lsh_candidate_pairs(sigs, id_col, mirrorable=mirrorable)
     return (minhash_similarity(sigs, pairs, id_col)
             .where(F.col("est_jaccard") >= threshold))
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
-    """(id, fp): 64-bit SimHash over whitespace tokens, entirely
+                         id_col: str = "doc_id",
+                         n_bits: int = 64,
+                         mirrorable: bool = False) -> DataFrame:
+    """(id, fp): n_bits-bit SimHash over whitespace tokens, entirely
     JVM-side (codegen) — no Python in the hot path.
 
-    explode tokens -> xxhash64(token) -> per-bit +/-1 votes -> 64
+    explode tokens -> hash(token) -> per-bit +/-1 votes -> n_bits
     partial-aggregating sums per doc -> majority bits OR'd into the
     fingerprint (disjoint bit values sum exactly, incl. the sign bit).
     One shuffle, map-side combine; replaces a per-row/per-token/
-    per-byte Python FNV loop that was ~100x slower per batch."""
+    per-byte Python FNV loop that was ~100x slower per batch.
+
+    mirrorable=True swaps xxhash64 for the 60-bit md5h (pass
+    n_bits=MD5_BITS) — every step is then plain integer SQL, so the
+    whole fingerprint+banding pipeline has a DuckDB oracle."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     t = (docs.select(id_col, F.explode(toks).alias("tok"))
              .where(F.length("tok") > 0)
-             .withColumn("h", F.xxhash64("tok")))
+             .withColumn("h", md5h(F.col("tok")) if mirrorable
+                         else F.xxhash64("tok")))
     votes = t.groupBy(id_col).agg(*[
         F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
                .otherwise(-1)).alias(f"v{b}")
-        for b in range(64)])
+        for b in range(n_bits)])
     bit_terms = [
         F.shiftleft(F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long"))
                      .otherwise(F.lit(0).cast("long")), b)
-        for b in range(64)]
+        for b in range(n_bits)]
     fp = bit_terms[0]
     for term in bit_terms[1:]:
         fp = fp + term
@@ -135,15 +173,16 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 8,
-                  n_bands: int = 8) -> DataFrame:
+                  n_bands: int = 8, n_bits: int = 64,
+                  mirrorable: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance. Candidate buckets:
     the fingerprint's n_bands equal bit-bands — by pigeonhole, a pair
     within hamming <= n_bands-1 agrees exactly on >= 1 band, so recall
     is total for max_hamming < n_bands and approximate beyond. Never
     an all-pairs join; narrower bands trade join fan-in for recall."""
-    width = 64 // n_bands
+    width = n_bits // n_bands
     mask = (1 << width) - 1
-    fp = simhash_fingerprints(docs, text_col, id_col)
+    fp = simhash_fingerprints(docs, text_col, id_col, n_bits, mirrorable)
     quarters = fp.withColumn("q", F.explode(F.array(
         *[F.struct(F.lit(i).alias("qi"),
                    F.shiftright("fp", width * i).bitwiseAND(F.lit(mask)).alias("qv"))
