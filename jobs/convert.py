@@ -46,6 +46,9 @@ def main() -> int:
     ap.add_argument("--no-prefetch", action="store_true",
                     help="disable background stage materialization "
                          "(A/B probe for the plan/execute overlap)")
+    ap.add_argument("--persist-level", default="DISK_ONLY",
+                    help="StorageLevel name for stage persists "
+                         "(DISK_ONLY | MEMORY_AND_DISK | ...)")
     ap.add_argument("--skip-counts", action="store_true",
                     help="skip post-write count jobs + metrics table "
                          "(scaling benches: removes fixed driver latency)")
@@ -88,14 +91,22 @@ def main() -> int:
     wh = None if args.no_checkpoint else Warehouse(spark, args.out)
     out = run_pipeline(spark, docs, warehouse=wh, resume=args.resume,
                        input_fp=input_fp, prefetch=not args.no_prefetch,
+                       persist_level=args.persist_level,
                        parse_partitions=args.parse_partitions)
 
     stage_secs: dict[str, float] = {}
     stage_secs["plan_build"] = round(time.monotonic() - t0, 2)
     n_docs = args.n_docs
     if args.input:
+        # exact row count from parquet footers (driver-side, no scan):
+        # a Spark count() here costs a full-corpus scan job (~19 s at
+        # 256k docs on one core) of pure fixed overhead.
         tc = time.monotonic()
-        n_docs = docs.count()
+        try:
+            import pyarrow.dataset as ds
+            n_docs = ds.dataset(args.input, format="parquet").count_rows()
+        except Exception:
+            n_docs = docs.count()
         stage_secs["input_count"] = round(time.monotonic() - tc, 2)
     # materialize the shared core once (the persisted chain up to the
     # node table), then run the five output writes as CONCURRENT Spark

@@ -92,7 +92,7 @@ def submit(zpath: str, master: str, input_path: str, shuffle: int = 16,
         shutil.rmtree(local_dir, ignore_errors=True)
 
 
-def ensure_corpus(n_docs: int) -> tuple[str, list[str]]:
+def ensure_corpus(n_docs: int, want_shards: bool = True) -> tuple[str, list[str]]:
     base = os.path.join(REPO, "_data", f"scale_{n_docs}.parquet")
     shards = [os.path.join(REPO, "_data", f"scale_{n_docs}_shard{i}.parquet")
               for i in range(4)]
@@ -104,7 +104,7 @@ def ensure_corpus(n_docs: int) -> tuple[str, list[str]]:
         if r.returncode != 0:
             sys.stderr.write(r.stdout[-1000:] + r.stderr[-1000:])
             raise RuntimeError("corpus generation failed")
-    if not all(os.path.exists(s) for s in shards):
+    if want_shards and not all(os.path.exists(s) for s in shards):
         r = subprocess.run([sys.executable, "-c", f"""
 import sys; sys.path.insert(0, {REPO!r})
 from pyspark.sql import functions as F
@@ -134,7 +134,7 @@ def main() -> int:
                          "concurrency data points (diagnostics)")
     args = ap.parse_args()
     zpath = build_zip()
-    base, shards = ensure_corpus(args.n_docs)
+    base, shards = ensure_corpus(args.n_docs, want_shards=args.extras)
 
     results: dict[str, list[dict]] = {args.n_master: [], args.n4_master: []}
     for rep in range(args.reps):

@@ -20,7 +20,8 @@ def build_session(app: str = "topo2osm_spark", master: str | None = None,
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                 os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"))
          # several broadcast sides here are SMALL SETS WITH EXPENSIVE
          # LINEAGE (e.g. the snap hot-bin probe computes the full parse
          # chain when caches are cold): the 300s default
