@@ -129,6 +129,10 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--n-master", default="local[2]")
     ap.add_argument("--n4-master", default="local[8]")
+    ap.add_argument("--mem", default="12g",
+                    help="driver/executor JVM heap for each submitted run "
+                         "(identical at N and 4N; 512k-doc probes showed "
+                         "12g starves 4 concurrent tasks)")
     ap.add_argument("--extras", action="store_true",
                     help="also record local[32] single-JVM and 4-process "
                          "concurrency data points (diagnostics)")
@@ -136,10 +140,19 @@ def main() -> int:
     zpath = build_zip()
     base, shards = ensure_corpus(args.n_docs, want_shards=args.extras)
 
+    # partition count scales with DATA (bounded per-partition size:
+    # ~16k docs/partition, measured sweet spot), never with the
+    # parallelism level — both configs run the IDENTICAL job. Pinning
+    # 16 partitions at 512k docs doubled partition size and collapsed
+    # local[4] to 733 docs/s (memory pressure under 4 concurrent
+    # tasks) while serial local[1] was unaffected — the classic
+    # partitions-must-scale-with-data rule, measured.
+    shuffle = max(16, args.n_docs // 16000)
     results: dict[str, list[dict]] = {args.n_master: [], args.n4_master: []}
     for rep in range(args.reps):
         for master in (args.n_master, args.n4_master):
-            rec = submit(zpath, master, base)
+            rec = submit(zpath, master, base, shuffle=shuffle,
+                         mem=args.mem)
             rec["rep"] = rep
             results[master].append(rec)
             print(json.dumps({"mode": "cores", "master": master, "rep": rep,
@@ -166,6 +179,7 @@ def main() -> int:
 
     summary = {
         "n_docs": args.n_docs, "reps": args.reps,
+        "shuffle_partitions": shuffle, "jvm_heap": args.mem,
         "n_master": args.n_master, "n4_master": args.n4_master,
         "docs_per_sec_N": round(med_n, 2),
         "docs_per_sec_4N": round(med_4n, 2),
@@ -193,7 +207,10 @@ def main() -> int:
         "(seed 42, coastal-Zipf skew, FIXTURES.md generator), "
         "materialized ONCE to parquet; job = `spark-submit --py-files "
         "engine.zip jobs/convert.py --input ...` (full SOSI->OSM "
-        "conversion incl. all five output writes).",
+        "conversion incl. all five output writes). Identical config at "
+        f"both levels: {shuffle} shuffle/parse partitions "
+        "(data-scaled: ~16k docs/partition), "
+        f"{args.mem} JVM heap, AQE off, parquet scratch on disk.",
         "",
         "| config | docs/sec (median) | per-rep wall sec |",
         "|---|---|---|",
