@@ -54,7 +54,16 @@ def main() -> int:
     docs = documents_df(spark, 6, n_municipalities=3, seed=42)
     out = run_pipeline(spark, docs, persist=False)
     sections.append(("pipeline:ways", grab(out["ways"])))
-    sections.append(("pipeline:tile_assignments", grab(out["tile_assignments"])))
+    # capture the tile plan's AT-SCALE shape: the audit corpus is tiny,
+    # so Catalyst auto-broadcasts whatever fits. Disabling the auto
+    # threshold (explicit broadcast() hints are unaffected) shows the
+    # strategy a 100TB table would get — the doc_id shuffle equi-join.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sections.append(("pipeline:tile_assignments (auto-broadcast off)",
+                         grab(out["tile_assignments"])))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     lines = ["# Captured physical plans (scripts/explain_plans.py)", ""]
     for name, plan in sections:
@@ -75,8 +84,9 @@ def main() -> int:
             all("Python" not in s for _, s in sections[7:9]),
         "range join is an equi-join (no NL/cartesian)":
             "SortMergeJoin" in sections[8][1] or "HashJoin" in sections[8][1],
-        "tile join broadcasts media (zoom fan-out stays map-side)":
-            "BroadcastHashJoin" in sections[-1][1],
+        "tile join is a doc_id equi-join, nothing corpus-sized broadcast":
+            ("SortMergeJoin" in sections[-1][1]
+             or "ShuffledHashJoin" in sections[-1][1]),
         "tile cell math is JVM (no Python eval in tile plan)":
             "ArrowEvalPython" not in sections[-1][1]
             and "BatchEvalPython" not in sections[-1][1],

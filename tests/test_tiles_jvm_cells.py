@@ -75,3 +75,32 @@ def test_parent_expr_codegen_no_python(spark):
     df = df.select(parent_cell_expr("cell", "pmod(z, 15)").alias("p"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tile_join_strategies_identical(spark):
+    """The doc_id-shuffle join (scale default: nothing corpus-sized is
+    broadcast) and the broadcast-media fan-out variant must return the
+    SAME row set."""
+    from topo2osm_spark.operators.tiles import parse_media_refs, tile_vector_join
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(58.0, 63.0, 300)
+    lon = rng.uniform(4.0, 12.0, 300)
+    vc_rows = [(f"d{i % 20}", i, int(c))
+               for i, c in enumerate(cells.encode(lat, lon, VECTOR_RES))]
+    vcells = spark.createDataFrame(vc_rows, "doc_id string, way_id long, cell long")
+    # media tiles covering some of those points at mixed zooms + misses
+    media_rows = []
+    for i in range(0, 300, 7):
+        z = int(rng.integers(8, VECTOR_RES + 1))
+        n = 1 << z
+        x = int((lon[i] + 180.0) / 360.0 * n)
+        y = int((1.0 - np.arcsinh(np.tan(np.radians(lat[i]))) / np.pi) / 2.0 * n)
+        media_rows.append((f"d{i % 20}", f"tile/{z}/{x}/{y}"))
+    media_rows += [("d3", "tile/9/0/0"), ("d5", "not-a-tile")]
+    media = parse_media_refs(
+        spark.createDataFrame(media_rows, "doc_id string, media_ref string"))
+    key = lambda rows: sorted((r["doc_id"], r["media_ref"], r["cell_id"], r["way_id"])
+                              for r in rows)
+    a = key(tile_vector_join(media, vcells).collect())
+    b = key(tile_vector_join(media, vcells, broadcast_media=True).collect())
+    assert a and a == b

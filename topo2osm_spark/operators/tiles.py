@@ -97,42 +97,58 @@ def parse_media_refs(media_spans: DataFrame) -> DataFrame:
 
 
 def tile_vector_join(media: DataFrame, vector_cells: DataFrame,
-                     per_document: bool = True) -> DataFrame:
+                     per_document: bool = True,
+                     broadcast_media: bool = False) -> DataFrame:
     """media: parse_media_refs output; vector_cells: (doc_id, way_id,
     cell) at VECTOR_RES. Returns (doc_id, media_ref, cell_id, way_id).
 
     per_document=True (default, the FIXTURES.md contract) aligns a
     media span's tile with ITS OWN document's vector cells — output is
     O(media x cells-per-doc), linear in corpus size; deliberately
-    non-overlapping tiles match nothing. per_document=False performs
-    the global raster<->vector alignment (any way touching the tile);
-    at scale that output is quadratic in dense areas — callers must
-    aggregate (e.g. counts per tile) rather than materialize pairs."""
+    non-overlapping tiles match nothing. Strategy: plain equi-join on
+    doc_id with the zoom/ancestor alignment as a codegen FILTER on the
+    joined row. Both sides shuffle once on doc_id (the vector side
+    WITHOUT any zoom fan-out), the per-doc pair fan-in is bounded by
+    media-spans-per-doc x cells-per-doc, and nothing corpus-sized is
+    ever broadcast — the shape that survives a 10^12-doc table.
+
+    broadcast_media=True restores the map-side variant (vector side
+    pre-fanned out to one ancestor key per distinct zoom, media side
+    broadcast): fastest when the media table is a genuinely SMALL dim
+    (fits the broadcast budget), wrong at corpus scale — the broadcast
+    build serializes the whole media table through the driver.
+
+    per_document=False performs the global raster<->vector alignment
+    (any way touching the tile): shuffle equi-join on (z, ancestor)
+    with the zoom fan-out on the vector side; AQE's skew-join handles
+    hot coastal tiles. At scale that output is quadratic in dense
+    areas — callers must aggregate (e.g. counts per tile) rather than
+    materialize pairs."""
+    out_cols = ["doc_id", "media_ref", "cell_id", "way_id"]
+    if per_document and not broadcast_media:
+        joined = (vector_cells.join(
+                      media.select("doc_id", "media_ref", "z", "tile_cell"),
+                      "doc_id")
+                  .where(parent_cell_expr("cell", "z") == F.col("tile_cell")))
+        return (joined.select("doc_id", "media_ref",
+                              F.col("cell").alias("cell_id"), "way_id")
+                      .dropDuplicates(out_cols))
+    # fan-out path: one ancestor key per DISTINCT zoom present —
+    # derived lazily from the media side (broadcast cross-join on the
+    # tiny distinct-zoom set; z is bounded by VECTOR_RES so |zdf| <=
+    # 15). No driver-side collect: the zoom scan folds into the DAG.
     # NO pre-dedup of vector_cells: deduplicating (doc, way, cell)
     # before the fan-out costs a full shuffle of every way node; the
     # duplicates only multiply cheap map-side codegen rows, and the
     # output dropDuplicates (match-sized, small) already guarantees
     # uniqueness.
-    vc = vector_cells
-    # one ancestor key per distinct zoom actually present — derived
-    # LAZILY from the media side (broadcast cross-join on the tiny
-    # distinct-zoom set; z is bounded by VECTOR_RES so |zdf| <= 15).
-    # No driver-side collect: the zoom scan folds into the same DAG.
     zdf = media.select("z").distinct()
-    vc = (vc.crossJoin(F.broadcast(zdf))
-            .withColumn("anc", parent_cell_expr("cell", "z")))
+    vc = (vector_cells.crossJoin(F.broadcast(zdf))
+          .withColumn("anc", parent_cell_expr("cell", "z")))
     join_on = ["doc_id", "z", "anc"] if per_document else ["z", "anc"]
-    # broadcast the MEDIA side: the zoom fan-out multiplies the vector
-    # side by up to 15x, and a shuffle join would move that entire
-    # fan-out; with media broadcast the fan-out stays map-side and is
-    # consumed by the probe without ever hitting a shuffle. media is
-    # one row per media span (corpus-small). If it outgrows the
-    # broadcast budget at cluster scale, drop the hint and AQE picks
-    # the shuffle strategy (and its skew handling) instead.
-    joined = vc.join(
-        F.broadcast(media.select("doc_id", "media_ref", "z",
-                                 F.col("tile_cell").alias("anc"))),
-        join_on)
+    m = media.select("doc_id", "media_ref", "z",
+                     F.col("tile_cell").alias("anc"))
+    joined = vc.join(F.broadcast(m) if broadcast_media else m, join_on)
     return (joined.select("doc_id", "media_ref",
                           F.col("cell").alias("cell_id"), "way_id")
-                  .dropDuplicates(["doc_id", "media_ref", "cell_id", "way_id"]))
+                  .dropDuplicates(out_cols))
