@@ -164,14 +164,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("event_type"))
     q["count_by_type"] = count_by_type
 
-    def rollup_counts(spark, sf):  # op 25
+    def grouping_counts(spark, sf):  # op 25: rollup AND cube, one surface
+        # (merged from r2's separate rollup_counts/cube_counts so the
+        # full query list fits the driver's 50-query window — both
+        # grouping-set shapes keep oracle coverage via the gset tag)
         _tune(spark)
         o = _t(spark, sf, "orders")
-        return (o.rollup("o_orderstatus", "o_orderpriority")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .orderBy(F.col("o_orderstatus").asc_nulls_first(),
-                         F.col("o_orderpriority").asc_nulls_first()))
-    q["rollup_counts"] = rollup_counts
+        r = (o.rollup("o_orderstatus", "o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select(F.lit("rollup").alias("gset"),
+                     "o_orderstatus", "o_orderpriority", "n"))
+        c = (o.cube("o_orderstatus", "o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select(F.lit("cube").alias("gset"),
+                     "o_orderstatus", "o_orderpriority", "n"))
+        return r.unionByName(c).orderBy(
+            "gset", F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first())
+    q["grouping_counts"] = grouping_counts
 
     def collect_sorted_list(spark, sf):  # op 23
         # Output is the CSV serialization of the ordered list — complex
@@ -313,21 +323,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return a.union(b).distinct().orderBy("l_orderkey")
     q["union_distinct"] = union_distinct
 
-    def except_orders(spark, sf):
+    def setop_orders(spark, sf):  # op 34: except AND intersect, one surface
+        # (merged from r2's separate except_orders/intersect_orders —
+        # 50-query-window budget; both set ops keep oracle coverage)
         _tune(spark)
         o = _t(spark, sf, "orders")
         a = o.where(F.col("o_totalprice") > 100000).select("o_orderkey")
-        b = o.where(F.col("o_orderstatus") == "F").select("o_orderkey")
-        return a.exceptAll(b).distinct().orderBy("o_orderkey")
-    q["except_orders"] = except_orders
-
-    def intersect_orders(spark, sf):
-        _tune(spark)
-        o = _t(spark, sf, "orders")
-        a = o.where(F.col("o_totalprice") > 100000).select("o_orderkey")
-        b = o.where(F.col("o_orderstatus") == "O").select("o_orderkey")
-        return a.intersect(b).orderBy("o_orderkey")
-    q["intersect_orders"] = intersect_orders
+        bf = o.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+        bo = o.where(F.col("o_orderstatus") == "O").select("o_orderkey")
+        ex = (a.exceptAll(bf).distinct()
+              .select(F.lit("except").alias("op"), "o_orderkey"))
+        it = (a.intersect(bo)
+              .select(F.lit("intersect").alias("op"), "o_orderkey"))
+        return ex.unionByName(it).orderBy("op", "o_orderkey")
+    q["setop_orders"] = setop_orders
 
     # ---- date/time (op 40) ----
     def date_trunc_agg(spark, sf):
@@ -370,15 +379,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).alias("n_events"))
                 .orderBy("user_id", "session_id"))
     q["sessionize"] = sessionize
-
-    def cube_counts(spark, sf):  # op 25: cube over two dims
-        _tune(spark)
-        o = _t(spark, sf, "orders")
-        return (o.cube("o_orderstatus", "o_orderpriority")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .orderBy(F.col("o_orderstatus").asc_nulls_first(),
-                         F.col("o_orderpriority").asc_nulls_first()))
-    q["cube_counts"] = cube_counts
 
     # ---- text analysis suite ----
     def token_stats(spark, sf):
@@ -440,26 +440,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_token_jaccard"] = dedup_token_jaccard
 
     def dedup_embedding_cosine(spark, sf):
+        # cohort-exhaustive variant (exact; the oracle surface). The
+        # production default `embedding_cosine_pairs` now verifies only
+        # LSH candidate pairs — sub-quadratic on hot cohorts
+        # (tests/test_dedup_similarity.py skew test).
         _tune(spark)
-        from topo2osm_spark.operators.dedup import embedding_cosine_pairs
+        from topo2osm_spark.operators.dedup import \
+            embedding_cosine_pairs_exhaustive
         e = _t(spark, sf, "embeddings")
-        return (embedding_cosine_pairs(e, threshold=0.35)
+        return (embedding_cosine_pairs_exhaustive(e, threshold=0.35)
                 .select("a", "b").orderBy("a", "b"))
     q["dedup_embedding_cosine"] = dedup_embedding_cosine
 
-    def dedup_minhash_lsh(spark, sf):  # rows-only (hash-seed specific)
-        _tune(spark)
-        from topo2osm_spark.operators.dedup import minhash_lsh_dedup
-        d = _t(spark, sf, "documents")
-        return minhash_lsh_dedup(d, threshold=0.5).orderBy("a", "b")
-    q["dedup_minhash_lsh"] = dedup_minhash_lsh
-
-    def dedup_simhash(spark, sf):  # rows-only
-        _tune(spark)
-        from topo2osm_spark.operators.dedup import simhash_pairs
-        d = _t(spark, sf, "documents")
-        return simhash_pairs(d, max_hamming=12).orderBy("a", "b")
-    q["dedup_simhash"] = dedup_simhash
+    # NOTE (r3): the rows-only twins dedup_minhash_lsh / dedup_simhash /
+    # ann_topk_lsh were dropped from the REGISTRY (not the library —
+    # the xxhash64 production paths keep their pytest coverage in
+    # tests/test_dedup_similarity.py): their semantics are already
+    # oracle-proven bit-for-bit by the md5-mirror variants below, and
+    # the driver evaluates only the first 50 registered queries
+    # (CORRECTNESS_r02 dropped the geometry tail registered at 51-54).
 
     def dedup_minhash_md5(spark, sf):
         # oracle-mirrorable variant: seeded 60-bit md5 hashes + string
@@ -495,13 +494,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _t(spark, sf, "embeddings")
         return brute_force_topk(e, _QUERY_VEC, k=10)
     q["ann_topk_bruteforce"] = ann_topk_bruteforce
-
-    def ann_topk_lsh(spark, sf):  # rows-only (approximate recall)
-        _tune(spark)
-        from topo2osm_spark.operators.similarity import lsh_topk
-        e = _t(spark, sf, "embeddings")
-        return lsh_topk(e, _QUERY_VEC, k=10)
-    q["ann_topk_lsh"] = ann_topk_lsh
 
     def ann_topk_ivf(spark, sf):  # full oracle: deterministic centroids
         _tune(spark)
@@ -598,6 +590,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_nodes", "closed")
     q["tagged_ways"] = tagged_ways
 
+    def tagged_points(spark, sf):
+        # op 9 output surface: PUNKT (Høydepunkt -> natural=peak) and
+        # TEKST lake-elevation labels (Høydetall -> ele=<STRENG>) as
+        # tagged point nodes; tags serialized to the k=v;k=v scalar.
+        out = _geo_outputs(spark, sf)
+        return out["points"].select(
+            "node_id", "doc_id", "span_idx", "obj_id", "objtype",
+            F.round("lat", 7).alias("lat"), F.round("lon", 7).alias("lon"),
+            F.array_join(
+                F.transform(F.array_sort(F.map_entries("tags")),
+                            lambda e: F.concat_ws("=", e["key"], e["value"])),
+                ";").alias("tags_kv"))
+    q["tagged_points"] = tagged_points
+
     def multipolygon_relations(spark, sf):
         # members array<struct> serialized to canonical JSON (order is
         # ring order, already deterministic) — scalar columns only.
@@ -666,7 +672,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out["integrity"]
     q["integrity_issues"] = integrity_issues
 
-    return q
+    # ---- registration order: the driver evaluates the FIRST 50 ----
+    # CORRECTNESS_r02 recorded exactly the first 50 registered queries
+    # and silently dropped positions 51-54 (the geometry-contract
+    # tail). The registry is therefore (a) trimmed to EXACTLY 50 and
+    # (b) explicitly ordered with the geometry/pipeline contract
+    # queries FIRST, so no §2-operator row can fall out of the window
+    # even if it shrinks. The order below is the evaluation order.
+    order = [
+        # geometry / conversion contract (SURVEY.md §2 core ops)
+        "sosi_parse_objects", "node_dedup", "ring_assembly",
+        "tagged_ways", "tagged_points", "multipolygon_relations",
+        "pip_membership", "island_hierarchy", "tile_join",
+        "span_echo", "span_sort_sig", "integrity_issues",
+        # relational / scalar oracle suite
+        "scan_filter_project", "string_funcs", "math_funcs",
+        "array_funcs", "json_funcs", "agg_tpch_q1", "count_by_type",
+        "grouping_counts", "collect_sorted_list", "broadcast_join_dims",
+        "equi_join_agg", "semi_join", "anti_join", "window_rownum",
+        "window_running_sum", "window_lag_gap", "asof_join_events",
+        "range_join_events", "topk_orders", "union_distinct",
+        "setop_orders", "date_trunc_agg", "salted_agg", "sessionize",
+        # text analysis
+        "token_stats", "quality_scores", "lang_id", "doc_fingerprint",
+        # dedup / similarity / multimodal / streaming
+        "dedup_exact", "dedup_token_jaccard", "dedup_embedding_cosine",
+        "dedup_minhash_md5", "dedup_simhash_md5", "ann_topk_bruteforce",
+        "ann_topk_ivf", "media_decode", "media_frame_sample",
+        "stream_dedup_state",
+    ]
+    assert len(order) == 50 and set(order) == set(q), (
+        len(order), sorted(set(q) ^ set(order)))
+    return {name: q[name] for name in order}
 
 
 # ---------------------------------------------------------------- oracles
@@ -722,10 +759,13 @@ def oracle_sql() -> dict[str, str]:
                floor(sum(value) * 100 + 0.5) / 100 AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type"""
 
-    sql["rollup_counts"] = """
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    sql["grouping_counts"] = """
+        SELECT 'rollup' AS gset, o_orderstatus, o_orderpriority, count(*) AS n
         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        UNION ALL
+        SELECT 'cube' AS gset, o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY gset, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
 
     sql["collect_sorted_list"] = """
         SELECT l_orderkey,
@@ -813,17 +853,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.09)
         ORDER BY l_orderkey"""
 
-    sql["except_orders"] = """
-        SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 100000
-        EXCEPT
-        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
-        ORDER BY o_orderkey"""
-
-    sql["intersect_orders"] = """
-        SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
-        INTERSECT
-        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
-        ORDER BY o_orderkey"""
+    sql["setop_orders"] = """
+        SELECT 'except' AS op, o_orderkey FROM (
+            SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 100000
+            EXCEPT
+            SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        UNION ALL
+        SELECT 'intersect' AS op, o_orderkey FROM (
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+            INTERSECT
+            SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')
+        ORDER BY op, o_orderkey"""
 
     sql["date_trunc_agg"] = """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
@@ -854,11 +894,6 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, session_id, count(*) AS n_events
         FROM sid GROUP BY user_id, session_id
         ORDER BY user_id, session_id"""
-
-    sql["cube_counts"] = """
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n
-        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
 
     sql["token_stats"] = r"""
         SELECT doc_id,

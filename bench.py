@@ -54,7 +54,8 @@ def main() -> int:
                         partitions=max(8, min(int(cpus), n_docs // 500)))
     out = run_pipeline(spark, docs)
     counts = {}
-    for name in ("nodes", "ways", "relations", "tile_assignments", "echo"):
+    for name in ("nodes", "ways", "relations", "tile_assignments", "echo",
+                 "points"):
         out[name].write.mode("overwrite").parquet(os.path.join(out_dir, name))
         counts[name] = None
     e2e = time.monotonic() - t0

@@ -132,11 +132,13 @@ def main() -> int:
     # materialized that cache — otherwise both jobs recompute the
     # split chain concurrently.
     wc = int(os.environ.get("SPARK_GRAFT_WRITE_CONCURRENCY", "2"))
-    for wave in (("nodes", "ways"), ("relations", "tile_assignments", "echo")):
+    for wave in (("nodes", "ways"),
+                 ("relations", "tile_assignments", "echo", "points")):
         with ThreadPoolExecutor(max_workers=max(1, wc)) as ex:
             for name, secs in ex.map(write_one, wave):
                 stage_secs[name] = secs
-    names = ("nodes", "ways", "relations", "tile_assignments", "echo")
+    names = ("nodes", "ways", "relations", "tile_assignments", "echo",
+             "points")
     counts = {}
     if not args.skip_counts:
         counts = {name: spark.read.parquet(os.path.join(args.out, "out_" + name)).count()

@@ -16,7 +16,13 @@ pre-materialized input:
    (sequential stage barriers + Python-runner handshakes), reported
    for transparency with attribution.
 
-Writes BENCH/BASELINE.md and prints one JSON line per run + summary.
+Outputs (ADVICE r2: never clobber the hand-written BASELINE.md):
+  - BENCH/scaling_runs.jsonl — one line per completed run, APPENDED
+    IMMEDIATELY (a killed bench loses nothing);
+  - BENCH/SCALING_RESULT_<n_docs>.md — generated result block for this
+    run; BENCH/BASELINE.md is hand-maintained and references these.
+The headline statistic is the MEDIAN docs/sec at each level over
+--reps reps (best-rep figures are supplementary diagnostics only).
 
 Usage: python scripts/scaling_bench.py [--n-docs 32000] [--reps 3]
 """
@@ -148,6 +154,14 @@ def main() -> int:
     # tasks) while serial local[1] was unaffected — the classic
     # partitions-must-scale-with-data rule, measured.
     shuffle = max(16, args.n_docs // 16000)
+    runs_jsonl = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+    os.makedirs(os.path.dirname(runs_jsonl), exist_ok=True)
+
+    def record(rec: dict) -> None:
+        # append-immediately: a killed bench keeps every finished run
+        with open(runs_jsonl, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
     results: dict[str, list[dict]] = {args.n_master: [], args.n4_master: []}
     for rep in range(args.reps):
         for master in (args.n_master, args.n4_master):
@@ -155,6 +169,11 @@ def main() -> int:
                          mem=args.mem)
             rec["rep"] = rep
             results[master].append(rec)
+            record({"n_docs": args.n_docs, "master": master, "rep": rep,
+                    "shuffle": shuffle, "mem": args.mem,
+                    "wall_sec": rec["wall_sec"],
+                    "docs_per_sec": rec["docs_per_sec"],
+                    "stage_write_secs": rec.get("stage_write_secs")})
             print(json.dumps({"mode": "cores", "master": master, "rep": rep,
                               "wall_sec": rec["wall_sec"],
                               "docs_per_sec": rec["docs_per_sec"]}), flush=True)
@@ -165,18 +184,27 @@ def main() -> int:
 
     extras: list[dict] = []
     if args.extras:
-        rec = submit(zpath, "local[32]", base)
+        # diagnostics run under the SAME data-scaled shuffle + heap as
+        # the primary reps (ADVICE r2: defaults silently reproduced the
+        # exact config the 512k probes showed collapsing)
+        rec = submit(zpath, "local[32]", base, shuffle=shuffle, mem=args.mem)
         extras.append({"mode": "threads-32", **rec})
         t0 = time.monotonic()
         with ThreadPoolExecutor(max_workers=4) as ex:
-            futs = [ex.submit(submit, zpath, "local[8]", s) for s in shards]
+            futs = [ex.submit(submit, zpath, "local[8]", s,
+                              max(16, shuffle // 4), args.mem)
+                    for s in shards]
             recs = [f.result() for f in futs]
         extras.append({"mode": "4-process-concurrent",
                        "wall_sec": round(time.monotonic() - t0, 2),
                        "shard_walls": [r["wall_sec"] for r in recs]})
         for e in extras:
+            record({"n_docs": args.n_docs, "extra": e})
             print(json.dumps(e), flush=True)
 
+    per_pair = [round((r4["docs_per_sec"] / rn["docs_per_sec"]) / 4.0, 3)
+                for rn, r4 in zip(results[args.n_master],
+                                  results[args.n4_master])]
     summary = {
         "n_docs": args.n_docs, "reps": args.reps,
         "shuffle_partitions": shuffle, "jvm_heap": args.mem,
@@ -185,32 +213,31 @@ def main() -> int:
         "docs_per_sec_4N": round(med_4n, 2),
         "speedup_N_to_4N": round(med_4n / med_n, 3),
         "scaling_efficiency": round(eff, 3),
+        "per_rep_pair_efficiency": per_pair,
         "target": 0.8,
+        "meets_target": eff >= 0.8,
     }
+    record({"summary": summary})
     print(json.dumps(summary))
 
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
-    os.makedirs(os.path.dirname(md), exist_ok=True)
+    # generated RESULT file — BASELINE.md is hand-maintained and
+    # references this; the N/4N narrative derives from the actual args
+    n_cores = args.n_master.strip("local[]")
+    n4_cores = args.n4_master.strip("local[]")
+    md = os.path.join(REPO, "BENCH", f"SCALING_RESULT_{args.n_docs}.md")
     lines = [
-        "# BENCH/BASELINE — measured scaling evidence",
-        "",
-        "North-rule criterion: N -> 4N executors, throughput scaling",
-        "efficiency >= 0.8, submitted via `spark-submit --py-files`.",
-        "No real cluster exists in this sandbox; per the driver protocol",
-        "the SAME job runs at two parallelism levels (N and 4N cores) on",
-        "the SAME pre-materialized input.",
-        "",
-        "## Primary: N vs 4N cores "
-        f"({args.n_master} vs {args.n4_master})",
+        f"# Scaling result — {args.n_docs} docs, "
+        f"{args.n_master} vs {args.n4_master} (generated by scaling_bench.py)",
         "",
         f"Input: {args.n_docs} synthesized interleaved documents "
         "(seed 42, coastal-Zipf skew, FIXTURES.md generator), "
         "materialized ONCE to parquet; job = `spark-submit --py-files "
         "engine.zip jobs/convert.py --input ...` (full SOSI->OSM "
-        "conversion incl. all five output writes). Identical config at "
+        "conversion incl. all output writes). Identical config at "
         f"both levels: {shuffle} shuffle/parse partitions "
         "(data-scaled: ~16k docs/partition), "
-        f"{args.mem} JVM heap, AQE off, parquet scratch on disk.",
+        f"{args.mem} JVM heap, AQE off, parquet scratch on disk. "
+        f"N = {n_cores} cores, 4N = {n4_cores} cores.",
         "",
         "| config | docs/sec (median) | per-rep wall sec |",
         "|---|---|---|",
@@ -219,41 +246,17 @@ def main() -> int:
         f"| {args.n4_master} (4N) | {summary['docs_per_sec_4N']} | "
         + ", ".join(str(r['wall_sec']) for r in results[args.n4_master]) + " |",
         "",
-        f"**Speedup {summary['speedup_N_to_4N']}x — scaling efficiency "
-        f"{summary['scaling_efficiency']} (target >= 0.8).**",
+        f"**Median-of-{args.reps}-reps speedup "
+        f"{summary['speedup_N_to_4N']}x -> scaling efficiency "
+        f"{summary['scaling_efficiency']} "
+        f"({'MEETS' if summary['meets_target'] else 'below'} the >= 0.8 "
+        "target; the MEDIAN is the protocol statistic). "
+        f"Per-rep-pair efficiencies: {per_pair}.**",
         "",
-        "## Environment constraints (measured, see git history r1)",
+        "Raw per-run JSON: BENCH/scaling_runs.jsonl "
+        f"(n_docs={args.n_docs} lines).",
         "",
-        "- This sandbox is a VM that heavily penalizes IPC-dense",
-        "  concurrency: beyond ~8-12 active contexts doing Arrow",
-        "  socket ping-pong, BOTH extra JVM threads (local[32] slower",
-        "  than local[8]) and extra concurrent executor processes (4x",
-        "  local[8] JVMs each 5x slower than solo) collapse, while",
-        "  pure-CPU multiprocessing scales ~4x to 32 workers. N=2 ->",
-        "  4N=8 cores sits below the collapse threshold, so it measures",
-        "  the ENGINE's scalability rather than the hypervisor's",
-        "  syscall pricing.",
-        "- Shard-parallel executor runs produce byte-identical outputs",
-        "  (content-addressed ids): scripts/check_shard_consistency.py",
-        "  -> {\"consistent\": true}. The engine has no cross-partition",
-        "  serial state; on real hardware executor-process scaling is",
-        "  the production path.",
-        "- AQE disabled for local runs (per-stage re-planning costs",
-        "  1.5-2x at sandbox scale); production enables it for the",
-        "  skew-join backstop.",
-        "",
-        "## Raw per-run JSON",
-        "",
-        "```json",
     ]
-    for master in (args.n_master, args.n4_master):
-        for r in results[master]:
-            lines.append(json.dumps({"master": master, **{
-                k: r[k] for k in ("rep", "wall_sec", "docs_per_sec",
-                                  "stage_write_secs", "counts")}}))
-    for e in extras:
-        lines.append(json.dumps(e))
-    lines += ["```", ""]
     with open(md, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {md}")

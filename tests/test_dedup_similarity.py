@@ -257,3 +257,72 @@ def test_media_decode_real_path(spark):
     r = M.decode_media(a).first()
     assert r["meta"]["codec"] == "wav/pcm16@16000"
     assert r["meta"]["width"] == 800  # samples
+
+
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_lsh_index_partition_pruning(spark, embs, tmp_path):
+    """Materialized LSH index (r2 verdict task): same row set as the
+    query-time-bucketed path, and the per-query scan PRUNES to the
+    probe-bucket partitions (PartitionFilters on `bucket`)."""
+    from topo2osm_spark.operators.similarity import (
+        lsh_topk, lsh_topk_indexed, query_buckets, write_lsh_index)
+    q = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    path = str(tmp_path / "lsh_idx")
+    write_lsh_index(embs, path, dim=64)
+    got = lsh_topk_indexed(spark, path, q, k=10)
+    want = [(r["vec_id"], r["cosine"]) for r in lsh_topk(embs, q, k=10).collect()]
+    assert [(r["vec_id"], r["cosine"]) for r in got.collect()] == want
+    plan = _formatted_plan(got)
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # the scan touches only probe partitions, not the whole index
+    import os
+    n_parts = len([d for d in os.listdir(path) if d.startswith("bucket=")])
+    assert len(query_buckets(q)) < n_parts or n_parts <= 9
+
+
+def test_ivf_index_partition_pruning(spark, embs, tmp_path):
+    """Materialized IVF index: row set identical to the
+    assignment-recomputing path; query scans only the n_probes
+    inverted lists (PartitionFilters on `cid`); centroid ranking is
+    driver-side metadata (no corpus scan)."""
+    from topo2osm_spark.operators.similarity import (
+        ivf_topk, ivf_topk_indexed, write_ivf_index)
+    q = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(embs, path)
+    got = ivf_topk_indexed(spark, path, q, k=10)
+    want = [(r["vec_id"], r["cosine"]) for r in ivf_topk(embs, q, k=10).collect()]
+    assert [(r["vec_id"], r["cosine"]) for r in got.collect()] == want
+    plan = _formatted_plan(got)
+    assert "PartitionFilters" in plan and "cid" in plan
+
+
+def test_embedding_cosine_verify_via_lsh_candidates(spark):
+    """The default cosine near-dup path verifies LSH CANDIDATE pairs
+    only — a single hot 10k-vector cohort stays far below the ~50M
+    exhaustive pair count (r2 verdict: quadratic cohort fan-out)."""
+    import numpy as np
+    from topo2osm_spark.operators.dedup import (
+        embedding_cosine_pairs, embedding_lsh_candidate_pairs)
+    n, dim = 10_000, 8
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((n // 2, dim))
+    # half the corpus: near-duplicates of the first half
+    m = np.vstack([base, base + rng.standard_normal((n // 2, dim)) * 0.01])
+    rows = [(i, [float(x) for x in m[i]], "hot") for i in range(n)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    cand = embedding_lsh_candidate_pairs(embs)
+    n_cand = cand.count()
+    assert 0 < n_cand < (n * (n - 1)) // 20  # sub-quadratic candidates
+    pairs = embedding_cosine_pairs(embs, cand, threshold=0.995)
+    found = pairs.count()
+    # planted near-dups (i, i + n/2) are near-certain bucket collisions
+    assert found >= 0.8 * (n // 2)

@@ -267,3 +267,61 @@ def test_snap_latitude_cap_guard(spark):
         nodeops.snap_mapping(polar, tol_m=0.5, max_abs_lat=72.0).collect()
     # derive path covers Svalbard without raising
     assert nodeops.snap_mapping(polar, tol_m=0.5).count() == 0
+
+
+def test_tagged_points_output(out, pipeline_out):
+    """Tagged point features (SURVEY.md §2 op 9 output): PUNKT
+    Høydepunkt -> natural=peak nodes; TEKST Høydetall lake-elevation
+    labels -> ele=<STRENG> nodes. Point node ids live in the shared
+    node space (quantize+snap), so they appear in the node table."""
+    pts = pipeline_out["points"].collect()
+    assert pts, "corpus seeds PUNKT and TEKST objects"
+    peaks = [p for p in pts if p["objtype"] == "Høydepunkt"]
+    assert peaks and all(p["tags"]["natural"] == "peak" for p in peaks)
+    eles = [p for p in pts if p["objtype"] == "Høydetall"]
+    assert eles, "corpus seeds TEKST elevation labels"
+    for p in eles:
+        assert p["tags"]["ele"].isdigit() and 1 <= int(p["tags"]["ele"]) < 1500
+    node_ids = {n["node_id"] for n in out["nodes"]}
+    assert {p["node_id"] for p in pts} <= node_ids
+
+
+def test_span_echo_at_scale_sampled(spark):
+    """Span-sequence invariant at bench scale (r2 verdict task 8):
+    echo output equals the input span sequence byte-for-byte on a
+    deterministic sample of the frozen 512k-doc scaling corpus."""
+    import os
+    path = "/root/repo/_data/scale_512000.parquet"
+    if not os.path.exists(path):
+        pytest.skip("512k scaling corpus not materialized")
+    from topo2osm_spark.plans.pipeline import echo_spans
+    docs = spark.read.parquet(path).where(F.col("doc_id").endswith("00"))
+    echo = {r["doc_id"]: r["spans_sorted"]
+            for r in echo_spans(docs).collect()}
+    raw = docs.collect()
+    assert len(raw) >= 5000 and len(echo) == len(raw)
+    for row in raw:
+        expect = sorted((s["offset"], s["kind"], s["text"], s["media_ref"])
+                        for s in row["spans"])
+        got = [(s["offset"], s["kind"], s["text"], s["media_ref"])
+               for s in echo[row["doc_id"]]]
+        assert got == expect
+
+
+def test_prefetcher_failure_logged_and_resurfaces(spark, caplog):
+    """Prefetch materialization errors are LOGGED with the stage name
+    (r2 verdict task 9) and still resurface on the caller's action."""
+    import logging
+
+    from topo2osm_spark.plans.pipeline import _Prefetcher
+    df = (spark.range(1)
+          .select(F.raise_error(F.lit("boom")).alias("x"))
+          .localCheckpoint(eager=False))
+    pf = _Prefetcher()
+    with caplog.at_level(logging.WARNING, logger="topo2osm_spark.plans.pipeline"):
+        pf.submit(df, "failing_stage")
+        pf.close()
+        pf._t.join(timeout=120)
+    assert any("failing_stage" in r.getMessage() for r in caplog.records)
+    with pytest.raises(Exception, match="boom"):
+        df.count()

@@ -100,3 +100,31 @@ def test_arrow_batch_roundtrip():
     tbl = out[0].to_pydict()
     assert len(tbl["doc_id"]) == 8  # 4 objects × 2 docs
     assert set(tbl["doc_id"]) == {"d1", "d2"}
+
+
+def test_parse_tekst_streng():
+    """TEKST label objects (SURVEY.md §2 op 9): ..STRENG payload +
+    single ..NØ point. Lake elevation labels carry the elevation as
+    the label string."""
+    frag = """.HODE
+..TEGNSETT UTF-8
+..TRANSPAR
+...KOORDSYS 23
+...ORIGO-NØ 0 0
+...ENHET 0.01
+.TEKST 7:
+..OBJTYPE Høydetall
+..STRENG 432
+..NØ
+650000000 20000000
+.SLUTT
+"""
+    objs = sosi.parse_fragment(frag, "d1", 0)
+    assert len(objs) == 1
+    o = objs[0]
+    assert o["obj_kind"] == "TEKST" and o["obj_id"] == 7
+    assert o["objtype"] == "Høydetall"
+    assert o["streng"] == "432"
+    assert np.allclose(o["coords"], [[6500000.0, 200000.0]])
+    # non-TEKST objects carry streng=None
+    assert all(x["streng"] is None for x in sosi.parse_fragment(FRAG, "d", 0))

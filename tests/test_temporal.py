@@ -45,3 +45,23 @@ def test_range_join_count_boundaries(spark):
            range_join_count(left, right, key="user_id",
                             window_us=60_000_000).collect()}
     assert got == {1: 2, 2: 1, 3: 0}
+
+
+def test_range_join_count_duplicate_left_rows(spark):
+    """Duplicate left rows keep INDEPENDENT counts (r2 verdict fix):
+    two byte-identical left rows each get their own output row with
+    the per-row count, not one merged row with a summed count."""
+    left = spark.createDataFrame(
+        [(5, _ts("2024-01-01T00:00:00")),
+         (5, _ts("2024-01-01T00:00:00")),     # exact duplicate
+         (5, _ts("2024-01-01T00:05:00"))],
+        "user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(5, _ts("2024-01-01T00:00:10")),
+         (5, _ts("2024-01-01T00:00:20"))],
+        "user_id long, ts timestamp")
+    rows = range_join_count(left, right, key="user_id",
+                            window_us=60_000_000).collect()
+    assert len(rows) == 3  # one output row PER input left row
+    counts = sorted(r["n_in_window"] for r in rows)
+    assert counts == [0, 2, 2]

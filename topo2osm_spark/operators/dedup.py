@@ -233,11 +233,87 @@ def token_jaccard_pairs(docs: DataFrame, cohort_col: str,
             .select("a", "b", "jaccard"))
 
 
-def embedding_cosine_pairs(embs: DataFrame, cohort_col: str = "label",
+_EMB_LSH_SEED = 90210
+
+
+def embedding_lsh_candidate_pairs(embs: DataFrame, id_col: str = "vec_id",
+                                  vec_col: str = "embedding",
+                                  n_planes: int = 8,
+                                  n_bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs by banded random-hyperplane LSH:
+    n_bands independent n_planes-bit sign signatures per vector; any
+    shared (band, bucket) makes a candidate. Pairs generate per bucket
+    (self-join on the band key) — sub-quadratic, the scale-safe front
+    end for cosine verification. Planes are seeded and derived from
+    the vector dimension inside the UDF, so the signature is
+    deterministic across batches/partitions."""
+    seed, np_, nb_ = _EMB_LSH_SEED, n_planes, n_bands
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _band_buckets(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy())
+        planes = np.random.default_rng(seed).standard_normal(
+            (nb_ * np_, m.shape[1]))
+        signs = (m @ planes.T) > 0
+        out = np.zeros((len(m), nb_), dtype=np.int32)
+        for band in range(nb_):
+            for i in range(np_):
+                out[:, band] |= signs[:, band * np_ + i].astype(np.int32) << i
+        return pd.Series(list(out))
+
+    bb = embs.select(F.col(id_col).alias("id"),
+                     F.posexplode(_band_buckets(F.col(vec_col)))
+                      .alias("band", "bucket"))
+    left = bb.select(F.col("id").alias("a"), "band", "bucket")
+    right = bb.select(F.col("id").alias("b"), "band", "bucket")
+    return (left.join(right, ["band", "bucket"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def _cosine_on_pairs(embs: DataFrame, pairs: DataFrame, id_col: str,
+                     vec_col: str, threshold: float) -> DataFrame:
+    """cosine(a, b) for explicit (a, b) pairs; JVM HOF math in double
+    precision with left-to-right summation (oracle-compatible)."""
+    v = embs.select(id_col,
+                    F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+    va = v.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
+    vb = v.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))
+    j = pairs.join(va, "a").join(vb, "b")
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return (j.withColumn("cosine", dround(dot / (na * nb)))
+             .where(F.col("cosine") >= threshold)
+             .select("a", "b", "cosine"))
+
+
+def embedding_cosine_pairs(embs: DataFrame, candidates: DataFrame | None = None,
                            id_col: str = "vec_id", vec_col: str = "embedding",
                            threshold: float = 0.3) -> DataFrame:
-    """Near-dup pairs by cosine similarity within cohorts. Dot/norm via
-    JVM higher-order functions in double precision (matches the
+    """Near-dup pairs by cosine — the VERIFY stage. Default entry
+    point: cosine is computed only over CANDIDATE pairs (given, e.g.
+    from `embedding_lsh_candidate_pairs` / minhash LSH; derived via
+    hyperplane LSH when omitted), never over raw cohort cross
+    products — a 10k-doc hot cohort stays sub-quadratic. The old
+    cohort-exhaustive form survives as the explicit
+    `embedding_cosine_pairs_exhaustive` (exact; fine for bounded
+    cohorts and as the oracle surface)."""
+    if candidates is None:
+        candidates = embedding_lsh_candidate_pairs(embs, id_col, vec_col)
+    return _cosine_on_pairs(embs, candidates, id_col, vec_col, threshold)
+
+
+def embedding_cosine_pairs_exhaustive(
+        embs: DataFrame, cohort_col: str = "label",
+        id_col: str = "vec_id", vec_col: str = "embedding",
+        threshold: float = 0.3) -> DataFrame:
+    """ALL pairs within cohorts — exact but quadratic in cohort size;
+    use only on bounded cohorts (or as an LSH-verify oracle). Dot/norm
+    via JVM higher-order functions in double precision (matches the
     DuckDB oracle's arithmetic)."""
     v = embs.select(id_col, cohort_col,
                     F.transform(vec_col, lambda x: x.cast("double")).alias("v"))

@@ -160,13 +160,109 @@ def lsh_topk(embs: DataFrame, query: list[float], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = N_PLANES) -> DataFrame:
     """ANN: restrict the cosine scan to the query's probe buckets.
-    The bucket filter is a pushdown-friendly IN-list on an int column;
-    on a bucketed/partitioned-by-bucket table this prunes partitions."""
+    Index-free form — the bucket column is computed AT QUERY TIME over
+    the whole corpus (a linear pandas_udf scan), so this is only the
+    right call for ad-hoc / one-shot queries. The scale path is
+    `write_lsh_index` once + `lsh_topk_indexed` per query (partition
+    pruning, sub-linear scan)."""
     dim = len(query)
     bucketed = embs.withColumn("bucket", bucket_udf(dim, n_planes)(F.col(vec_col)))
     probes = query_buckets(query, n_planes)
     cand = bucketed.where(F.col("bucket").isin(probes))
     return (cand
+            .withColumn("cosine", dround(cosine_col(F.col(vec_col), query)))
+            .select(id_col, "cosine")
+            .orderBy(F.desc("cosine"), F.col(id_col))
+            .limit(k))
+
+
+# --------------------------------------------------------------- indexes
+# The materialized-index path: build once (one full scan), then every
+# query reads ONLY its probe partitions. Probe sets are computed
+# driver-side from O(index-params) metadata (the plane matrix / the
+# centroid table), never from a corpus scan, so the per-query plan is
+# a partition-pruned parquet scan + TakeOrderedAndProject.
+
+def lsh_index(embs: DataFrame, dim: int, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              n_planes: int = N_PLANES) -> DataFrame:
+    """(id, embedding, bucket) — the LSH index table. One linear scan;
+    persist it partitioned by `bucket` (write_lsh_index)."""
+    return embs.select(
+        id_col, vec_col,
+        bucket_udf(dim, n_planes)(F.col(vec_col)).alias("bucket"))
+
+
+def write_lsh_index(embs: DataFrame, path: str, dim: int,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_planes: int = N_PLANES) -> None:
+    """Materialize the LSH index: parquet partitioned by `bucket`.
+    2^n_planes partitions; each holds ~corpus/2^n_planes vectors, so a
+    multi-probe query touches (n_planes+1)/2^n_planes of the data."""
+    (lsh_index(embs, dim, id_col, vec_col, n_planes)
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def lsh_topk_indexed(spark, path: str, query: list[float], k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     n_planes: int = N_PLANES) -> DataFrame:
+    """ANN over the materialized LSH index: the probe-bucket IN-list is
+    a static literal filter on the partition column, so the scan's
+    PartitionFilters prune to (n_planes+1) of 2^n_planes partitions —
+    verified in BENCH/PLANS.md. Row set identical to lsh_topk on the
+    same corpus (same planes, same probes)."""
+    probes = query_buckets(query, n_planes)
+    idx = spark.read.parquet(path).where(F.col("bucket").isin(probes))
+    return (idx
+            .withColumn("cosine", dround(cosine_col(F.col(vec_col), query)))
+            .select(id_col, "cosine")
+            .orderBy(F.desc("cosine"), F.col(id_col))
+            .limit(k))
+
+
+def write_ivf_index(embs: DataFrame, path: str,
+                    n_centroids: int = N_CENTROIDS,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Materialize the IVF index: `<path>/lists` parquet partitioned by
+    the assigned centroid id `cid` (the inverted lists) + the tiny
+    `<path>/centroids` table. Build cost = one centroid-broadcast
+    assignment pass; after this, queries never recompute assignment."""
+    cents = ivf_centroids(embs, n_centroids, id_col, vec_col)
+    assign = ivf_assign(embs, cents, id_col, vec_col)
+    (embs.select(id_col, vec_col).join(assign, id_col)
+     .write.mode("overwrite").partitionBy("cid").parquet(f"{path}/lists"))
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def _rank_centroids_local(path: str, query: list[float],
+                          n_probes: int) -> list:
+    """Driver-side centroid ranking from the index's centroid table —
+    O(n_centroids) metadata read via pyarrow (like FAISS keeping
+    centroids in RAM; works on any pyarrow-readable filesystem URI).
+    NOT a Spark collect: the centroid table is index metadata, fixed
+    at n_centroids rows regardless of corpus size."""
+    import pyarrow.dataset as ds
+    t = ds.dataset(f"{path}/centroids", format="parquet").to_table()
+    cids = np.asarray(t.column("cid"))
+    cvecs = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t.column("cvec").to_pylist()])
+    q = np.asarray(query, dtype=np.float64)
+    sims = (cvecs @ q) / (np.linalg.norm(cvecs, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((cids, -sims))
+    return [int(cids[i]) for i in order[:n_probes]]
+
+
+def ivf_topk_indexed(spark, path: str, query: list[float], k: int = 10,
+                     n_probes: int = N_PROBES,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN over the materialized IVF index: rank centroids driver-side
+    (O(n_centroids) metadata), then scan ONLY the n_probes inverted
+    lists — a static IN-list on the `cid` partition column, pruned at
+    plan time (PartitionFilters, BENCH/PLANS.md). Row set identical to
+    ivf_topk on the same corpus (same centroids, same tie-breaks)."""
+    probes = _rank_centroids_local(path, query, n_probes)
+    idx = spark.read.parquet(f"{path}/lists").where(F.col("cid").isin(probes))
+    return (idx
             .withColumn("cosine", dround(cosine_col(F.col(vec_col), query)))
             .select(id_col, "cosine")
             .orderBy(F.desc("cosine"), F.col(id_col))

@@ -41,6 +41,9 @@ TAG_TABLE: list[tuple[str, str, dict | None]] = [
     ("ArealbrukGrense", "KURVE", None),
     ("Sti", "KURVE", {"highway": "path"}),
     ("Høydepunkt", "PUNKT", {"natural": "peak"}),
+    # lake elevation labels: TEKST objects whose ..STRENG payload
+    # becomes ele=<label> (with_streng_ele) on an emitted point node
+    ("Høydetall", "TEKST", {}),
 ]
 
 
@@ -85,4 +88,19 @@ def with_ele(df: DataFrame, objtype_col: str = "objtype",
         "tags",
         F.when((F.col(objtype_col) == "Høydekurve") & h.isNotNull(),
                F.map_concat("tags", F.create_map(F.lit("ele"), ele)))
+         .otherwise(F.col("tags")))
+
+
+def with_streng_ele(df: DataFrame, objtype_col: str = "objtype",
+                    streng_col: str = "streng") -> DataFrame:
+    """Add `ele=<STRENG>` to elevation-label (Høydetall TEKST) tag
+    maps. The label string is emitted verbatim — the N50 sheet label
+    IS the elevation text (SURVEY.md §2 op 9 "lake elevation, labels");
+    map_concat is safe, 'ele' is not in the Høydetall base tags."""
+    s = F.col(streng_col)
+    return df.withColumn(
+        "tags",
+        F.when((F.col(objtype_col) == "Høydetall") & s.isNotNull()
+               & (F.length(s) > 0),
+               F.map_concat("tags", F.create_map(F.lit("ele"), s)))
          .otherwise(F.col("tags")))

@@ -83,25 +83,35 @@ def range_join_count(left: DataFrame, right: DataFrame, key: str,
     the right row in its own band only, so every true pair meets in
     exactly one band and the equi-join + exact refine never touches
     the quadratic cross product.
+
+    Duplicate left rows keep INDEPENDENT counts: byte-identical left
+    rows necessarily have identical counts, so the join runs over
+    DISTINCT left rows carrying a multiplicity, which re-expands at
+    the end — one output row per input left row. (A generated row-id
+    would not survive plan re-execution; `monotonically_increasing_id`
+    is partition-layout-dependent.)
     """
     lcols = left.columns
-    l = (left.select(F.col(key).alias("__k"),
-                     F.unix_micros(F.col(left_ts).cast("timestamp")).alias("__lus"),
-                     *[F.col(c).alias(f"__l_{c}") for c in lcols])
-         .withColumn("__band", F.explode(F.array(
-             F.floor(F.col("__lus") / window_us),
-             F.floor(F.col("__lus") / window_us) + 1))))
+    lkeys = [f"__l_{c}" for c in lcols]
+    ldist = (left.select(F.col(key).alias("__k"),
+                         F.unix_micros(F.col(left_ts).cast("timestamp")).alias("__lus"),
+                         *[F.col(c).alias(f"__l_{c}") for c in lcols])
+             .groupBy("__k", "__lus", *lkeys)
+             .agg(F.count(F.lit(1)).alias("__mult")))
+    l = ldist.withColumn("__band", F.explode(F.array(
+        F.floor(F.col("__lus") / window_us),
+        F.floor(F.col("__lus") / window_us) + 1)))
     r = right.select(F.col(key).alias("__k"),
                      F.unix_micros(F.col(right_ts).cast("timestamp")).alias("__rus")) \
              .withColumn("__band", F.floor(F.col("__rus") / window_us))
     hits = (l.join(r, ["__k", "__band"])
             .where((F.col("__rus") >= F.col("__lus"))
                    & (F.col("__rus") < F.col("__lus") + F.lit(window_us)))
-            .groupBy(*[f"__l_{c}" for c in lcols])
+            .groupBy(*lkeys)
             .agg(F.count(F.lit(1)).alias("__n")))
-    # left rows whose bands matched nothing: left-join the counts back
-    base = l.where(F.col("__band") == F.floor(F.col("__lus") / window_us)) \
-            .select(*[f"__l_{c}" for c in lcols])
-    return (base.join(hits, [f"__l_{c}" for c in lcols], "left")
+    # left rows whose bands matched nothing keep count 0; explode the
+    # multiplicity back so duplicates re-appear as separate rows
+    return (ldist.join(hits, lkeys, "left")
+            .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__mult"))))
             .select(*[F.col(f"__l_{c}").alias(c) for c in lcols],
                     F.coalesce("__n", F.lit(0)).cast("long").alias(count_alias)))

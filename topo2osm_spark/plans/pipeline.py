@@ -65,20 +65,25 @@ class _Prefetcher:
         self._t.start()
 
     def _run(self) -> None:
+        import logging
         while True:
-            df = self._q.get()
-            if df is None:
+            item = self._q.get()
+            if item is None:
                 return
+            name, df = item
             try:
                 df.count()
-            except Exception:
+            except Exception as e:
                 # materialization errors surface on the caller's own
-                # action with the full traceback; swallowing here only
-                # avoids a duplicate noisy report from the daemon.
-                pass
+                # action with the full traceback; the warning here is
+                # for debuggability (which stage, which error), not
+                # error handling.
+                logging.getLogger(__name__).warning(
+                    "prefetch of stage %r failed (will resurface on the "
+                    "caller's action): %s", name, e)
 
-    def submit(self, df: DataFrame) -> None:
-        self._q.put(df)
+    def submit(self, df: DataFrame, name: str = "?") -> None:
+        self._q.put((name, df))
 
     def close(self) -> None:
         self._q.put(None)
@@ -175,7 +180,7 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
             # locally — see persist_level note).
             df = df.localCheckpoint(eager=False, storageLevel=level)
             if pf is not None:
-                pf.submit(df)
+                pf.submit(df, name)
         return df
 
     spans = explode_spans(docs)
@@ -214,7 +219,6 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
 
     curves = geo.where(F.col("obj_kind") == "KURVE")
     flates = geo.where(F.col("obj_kind") == "FLATE")
-    punkts = geo.where(F.col("obj_kind") == "PUNKT")
 
     # S4 output: ring rows of the fused pass (ASSEMBLED_RINGS shape)
     rings = geo_all.where(F.col("row_kind") == "ring").select(
@@ -255,8 +259,14 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
                 F.col("ll.lats").alias("lat"), F.col("ll.lons").alias("lon")))
     way_nodes = ck(way_nodes, "way_nodes")
 
-    punkt_points = punkts.select(
-        F.element_at("lats", 1).alias("lat"), F.element_at("lons", 1).alias("lon"))
+    # PUNKT + TEKST coordinates join the shared node space: the
+    # reference keeps ONE coordinate-keyed node dict across all object
+    # kinds (SURVEY.md §2 op 33), so a peak marker or elevation label
+    # on a way vertex shares that vertex's node.
+    punkt_points = (geo.where(F.col("obj_kind").isin("PUNKT", "TEKST"))
+                    .select(F.element_at("lats", 1).alias("lat"),
+                            F.element_at("lons", 1).alias("lon"))
+                    .where(F.col("lat").isNotNull()))
     all_points = way_nodes.select("lat", "lon").unionByName(punkt_points)
     # persisted: 3 consumers (snap max-lat agg, snap_map, nodes_out)
     nodes_raw = ck(nodeops.dedup_nodes(all_points), "nodes_raw")
@@ -351,9 +361,32 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
                   .select(F.lit("kp_node_missing").alias("issue"),
                           "doc_id", "span_idx", "obj_id"))
 
+    # tagged point features (SURVEY.md §2 op 9): PUNKT objects
+    # (Høydepunkt -> natural=peak) and TEKST elevation labels
+    # (Høydetall -> ele=<STRENG>), routed through the same broadcast
+    # tag join as ways. node_id goes through quantize+snap, so a label
+    # sitting on a way vertex resolves to that vertex's canonical node;
+    # lat/lon are the point's own quantized position (<= tol from the
+    # canonical node's — no data-sized join back to the node table).
+    point_objs = (geo.where(F.col("obj_kind").isin("PUNKT", "TEKST"))
+                  .select("doc_id", "span_idx", "obj_id", "objtype", "streng",
+                          F.col("obj_kind").alias("geom_kind"),
+                          F.element_at("lats", 1).alias("lat"),
+                          F.element_at("lons", 1).alias("lon"))
+                  .where(F.col("lat").isNotNull()))
+    tagged_pts = tags.with_streng_ele(tags.join_tags(point_objs, spark))
+    pts_snapped = nodeops.apply_snap(nodeops.quantize(tagged_pts), snap_map)
+    points_out = (pts_snapped.where(F.col("emit"))
+                  .select("node_id", "doc_id", "span_idx", "obj_id",
+                          "objtype",
+                          (F.col("qlat") / F.lit(10.0 ** nodeops.QUANT)).alias("lat"),
+                          (F.col("qlon") / F.lit(10.0 ** nodeops.QUANT)).alias("lon"),
+                          "tags"))
+
     out = {
         "spans": spans,
         "objects": geo,
+        "points": points_out,
         "rings": rings,
         "nodes": nodes_out,
         "ways": ways,

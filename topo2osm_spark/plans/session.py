@@ -22,6 +22,17 @@ def build_session(app: str = "topo2osm_spark", master: str | None = None,
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                  os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"))
+         # scan split size: the default 128 MB sizes splits for SCAN
+         # cost, but several output branches (span echo, tile join)
+         # re-read the documents table directly — at 512k docs the
+         # ~700 MB input became ~6 splits, a serial tail on the
+         # parallel side (echo wrote in ~20 s at BOTH local[1] and
+         # local[4], BENCH r2). 32 MB keeps those JVM-only scan stages
+         # wide; the Arrow parse path is unaffected (it repartitions
+         # explicitly, pipeline.py parse_partitions).
+         .config("spark.sql.files.maxPartitionBytes",
+                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                                str(32 * 1024 * 1024)))
          # several broadcast sides here are SMALL SETS WITH EXPENSIVE
          # LINEAGE (e.g. the snap hot-bin probe computes the full parse
          # chain when caches are cold): the 300s default

@@ -32,6 +32,9 @@ PARSED_OBJECTS = T.StructType([
     T.StructField("obj_kind", T.StringType(), False),
     T.StructField("obj_id", T.LongType(), False),
     T.StructField("objtype", T.StringType(), True),
+    # TEKST label payload (..STRENG — lake elevation labels etc.);
+    # null for all other object kinds
+    T.StructField("streng", T.StringType(), True),
     T.StructField("coords", T.ArrayType(T.ArrayType(T.DoubleType())), True),
     T.StructField("kp", T.ArrayType(T.IntegerType()), True),
     T.StructField("refs", T.ArrayType(T.LongType()), True),

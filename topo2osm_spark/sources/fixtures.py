@@ -313,6 +313,21 @@ def _gen_sosi_fragment(rng, ce, cn, err_rate=0.01) -> tuple[str, tuple]:
         next_id += 1
         all_n.append(isl_n); all_e.append(isl_e)
 
+    # --- lake elevation label (TEKST, SURVEY.md §2 op 9) ---
+    # N50 sheets label lake surfaces with an elevation string; the
+    # engine must emit a tagged point node carrying ele=<label>
+    # (tags.py Høydetall row). Placed at the lake's interior point.
+    # (Appended LAST in the rng draw order so earlier corpora are a
+    # strict prefix of the same stream.)
+    if rng.random() < 0.25 and ip is not None:
+        ele = int(rng.integers(1, 1500))
+        buf.append(f".TEKST {next_id}:")
+        buf.append("..OBJTYPE Høydetall")
+        buf.append(f"..STRENG {ele}")
+        buf.append("..NØ")
+        buf.append(f"{_fmt_int(ip[0])} {_fmt_int(ip[1])}")
+        next_id += 1
+
     for fid, ft, ref_str, ipn, ipe in flate_jobs:
         _emit_flate(buf, fid, ft, ref_str, ipn, ipe)
     buf.append(".SLUTT")

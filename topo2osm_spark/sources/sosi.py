@@ -9,6 +9,7 @@ behavior [U: topo2osm.py::file reader / object parser]):
     .KURVE id: ..OBJTYPE t ..NØ|..NØH <int rows> [...KP n]
     .FLATE id: ..OBJTYPE t ..REF :i :-j ( :k ) ..NØ <one row>
     .PUNKT id: ..OBJTYPE t ..NØ <one row>
+    .TEKST id: ..OBJTYPE t ..STRENG s ..NØ <one row>
     .SLUTT
 
 Exposed two ways:
@@ -126,12 +127,19 @@ def parse_fragment(text: str, doc_id: str = "", span_idx: int = 0,
         body = text[m.end():end]
         lines = [ln.strip() for ln in body.split("\n") if ln.strip()]
         objtype = None
+        streng = None
         coord_lines: list[str] = []
         ref_parts: list[str] = []
         mode = None
         for ln in lines:
             if ln.startswith("..OBJTYPE"):
                 objtype = ln.split(None, 1)[1].strip()
+                mode = None
+            elif ln.startswith("..STRENG"):
+                # TEKST label payload (lake-elevation labels etc.);
+                # optional surrounding quotes are stripped
+                streng = ln.split(None, 1)[1].strip().strip('"') \
+                    if len(ln.split(None, 1)) > 1 else ""
                 mode = None
             elif ln.startswith("..REF"):
                 ref_parts.append(ln[5:])
@@ -156,6 +164,7 @@ def parse_fragment(text: str, doc_id: str = "", span_idx: int = 0,
             "obj_kind": kind,
             "obj_id": obj_id,
             "objtype": objtype,
+            "streng": streng,
             "coords": coords if as_numpy else coords.tolist(),
             "kp": kp,
             "refs": refs,
@@ -172,6 +181,7 @@ _ARROW_SCHEMA = pa.schema([
     pa.field("obj_kind", pa.string(), False),
     pa.field("obj_id", pa.int64(), False),
     pa.field("objtype", pa.string()),
+    pa.field("streng", pa.string()),
     pa.field("coords", pa.list_(pa.list_(pa.float64()))),
     pa.field("kp", pa.list_(pa.int32())),
     pa.field("refs", pa.list_(pa.int64())),

@@ -16,13 +16,24 @@ fingerprint; otherwise it returns a reader over the existing data.
 Lineage rows for every materialization are appended to
 `<warehouse>/_lineage` (stage, partition_id, rows, fingerprint,
 wall_ms).
+
+Filesystem-agnostic: all metadata I/O (manifest read/write/commit,
+data-file listing, parquet footer reads) goes through a
+`pyarrow.fs.FileSystem` resolved from the warehouse root URI —
+`file://`/plain paths, `s3://`, `hdfs://` (where pyarrow has the
+backend) all work; Spark itself handles the data read/write URIs
+natively. A filesystem can also be injected (tests use an in-memory
+duck-type). Note on object stores: the manifest "atomic rename" is
+best-effort there (copy+delete) — real atomicity at scale comes from
+the Iceberg catalog path, which is exactly why it is the production
+target.
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
-import os
+import posixpath
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,20 +58,38 @@ def fingerprint(*parts: str) -> str:
     return h.hexdigest()[:16]
 
 
+def _resolve_fs(root: str, filesystem=None) -> tuple[object, str]:
+    """(pyarrow filesystem, fs-local root path) for a warehouse root.
+    Plain paths and file:// map to LocalFileSystem; any other scheme
+    resolves through pyarrow.fs.FileSystem.from_uri (s3, hdfs, ...)."""
+    from pyarrow import fs as pafs
+    if filesystem is not None:
+        return filesystem, root.split("://", 1)[-1] if "://" in root else root
+    if "://" in root:
+        f, p = pafs.FileSystem.from_uri(root)
+        return f, p
+    return pafs.LocalFileSystem(), root
+
+
 class Warehouse:
     def __init__(self, spark: SparkSession, root: str,
-                 iceberg_catalog: str | None = None):
+                 iceberg_catalog: str | None = None,
+                 filesystem=None):
         """iceberg_catalog: when set AND the Iceberg runtime is on the
         classpath, stages materialize through `df.writeTo()` against
         `<catalog>.<root-basename>.<stage>` tables (real snapshot
         commits) instead of the parquet+manifest emulation. The sandbox
         has no iceberg jar, so the path is exercised by a duck-typed
-        writer test (test_warehouse.py)."""
+        writer test (test_warehouse.py).
+
+        filesystem: optional pyarrow-compatible filesystem for all
+        metadata I/O (default: resolved from the root URI)."""
         self.spark = spark
         self.root = root
         self.iceberg_catalog = iceberg_catalog
-        self.namespace = os.path.basename(root.rstrip("/")) or "warehouse"
-        os.makedirs(root, exist_ok=True)
+        self.namespace = posixpath.basename(root.rstrip("/")) or "warehouse"
+        self._fs, self._fs_root = _resolve_fs(root, filesystem)
+        self._fs.create_dir(self._fs_root, recursive=True)
 
     def _use_iceberg(self) -> bool:
         return (self.iceberg_catalog is not None
@@ -77,41 +106,66 @@ class Warehouse:
         return table
 
     def _path(self, name: str) -> str:
-        return os.path.join(self.root, name)
+        """Spark-facing path (keeps the root's URI scheme)."""
+        return posixpath.join(self.root, name)
+
+    def _fs_path(self, name: str) -> str:
+        """Filesystem-facing path (scheme stripped for pyarrow fs)."""
+        return posixpath.join(self._fs_root, name)
+
+    def _exists(self, fs_path: str) -> bool:
+        from pyarrow import fs as pafs
+        return self._fs.get_file_info(fs_path).type != pafs.FileType.NotFound
 
     def manifest(self, name: str) -> dict | None:
-        mp = os.path.join(self._path(name), MANIFEST)
-        if not os.path.exists(mp):
+        mp = posixpath.join(self._fs_path(name), MANIFEST)
+        if not self._exists(mp):
             return None
-        with open(mp) as f:
-            return json.load(f)
+        with self._fs.open_input_stream(mp) as f:
+            return json.loads(f.read().decode())
 
     def is_complete(self, name: str, fp: str) -> bool:
         m = self.manifest(name)
         return m is not None and m.get("fingerprint") == fp
 
     def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self._path(name), "data"))
+        return self.spark.read.parquet(posixpath.join(self._path(name), "data"))
 
-    @staticmethod
-    def _footer_counts(data_dir: str) -> list[tuple[int, int]]:
+    def _footer_counts(self, data_dir_fs: str) -> list[tuple[int, int]]:
         """Per-partition row counts from parquet FOOTERS — metadata-only
-        (a few KB per file), never a second data scan. One part file ==
-        one write partition; the partition id is parsed from the
-        part-NNNNN file name (the writer's task id). This is the same
-        trick Iceberg manifests use: counts come from file metadata
-        collected at commit time, not from re-reading data."""
+        (seekable open + a few KB of footer per file), never a second
+        data scan, on ANY pyarrow filesystem. One part file == one
+        write partition; the partition id is parsed from the part-NNNNN
+        file name (the writer's task id). This is the same trick
+        Iceberg manifests use: counts come from file metadata collected
+        at commit time, not from re-reading data."""
         import re
         import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+        infos = self._fs.get_file_info(pafs.FileSelector(data_dir_fs))
         out = []
-        for fn in sorted(os.listdir(data_dir)):
+        for info in sorted(infos, key=lambda i: i.path):
+            fn = posixpath.basename(info.path)
             if not fn.endswith(".parquet") or fn.startswith("_"):
                 continue
             m = re.match(r"part-(\d+)", fn)
             pid = int(m.group(1)) if m else len(out)
-            out.append((pid, pq.ParquetFile(
-                os.path.join(data_dir, fn)).metadata.num_rows))
+            with self._fs.open_input_file(info.path) as f:
+                out.append((pid, pq.ParquetFile(f).metadata.num_rows))
         return out
+
+    def _commit_manifest(self, name: str, man: dict) -> None:
+        """Write manifest via temp file + rename (atomic on real
+        filesystems; best-effort copy+delete on object stores — see
+        module docstring)."""
+        path = self._fs_path(name)
+        tmp = posixpath.join(path, MANIFEST + ".tmp")
+        final = posixpath.join(path, MANIFEST)
+        with self._fs.open_output_stream(tmp) as f:
+            f.write(json.dumps(man).encode())
+        if self._exists(final):
+            self._fs.delete_file(final)
+        self._fs.move(tmp, final)
 
     def write(self, df: DataFrame, name: str, fp: str) -> DataFrame:
         """Materialize df -> parquet snapshot + manifest + lineage.
@@ -121,10 +175,9 @@ class Warehouse:
         if self._use_iceberg():
             table = self.iceberg_write(df, name)
             return self.spark.read.table(table)
-        path = self._path(name)
-        data = os.path.join(path, "data")
+        data = posixpath.join(self._path(name), "data")
         df.write.mode("overwrite").parquet(data)
-        per_part = self._footer_counts(data)
+        per_part = self._footer_counts(posixpath.join(self._fs_path(name), "data"))
         wall_ms = int((time.monotonic() - t0) * 1000)
         man = {
             "fingerprint": fp,
@@ -133,14 +186,11 @@ class Warehouse:
             "wall_ms": wall_ms,
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        tmp = os.path.join(path, MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, os.path.join(path, MANIFEST))  # atomic commit
+        self._commit_manifest(name, man)
         lineage = self.spark.createDataFrame(
             [(name, pid, n, fp, wall_ms) for pid, n in per_part],
             "stage string, partition_id int, rows long, fingerprint string, wall_ms long")
-        lineage.write.mode("append").parquet(os.path.join(self.root, "_lineage"))
+        lineage.write.mode("append").parquet(posixpath.join(self.root, "_lineage"))
         return self.spark.read.parquet(data)
 
     def stage(self, df: DataFrame, name: str, fp: str,
@@ -151,4 +201,4 @@ class Warehouse:
         return self.write(df, name, fp), False
 
     def lineage(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.root, "_lineage"))
+        return self.spark.read.parquet(posixpath.join(self.root, "_lineage"))
