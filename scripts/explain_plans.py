@@ -37,9 +37,23 @@ def main() -> int:
 
     q = e.queries()
     for name in ("scan_filter_project", "agg_tpch_q1", "broadcast_join_dims",
-                 "window_rownum", "dedup_minhash_lsh", "ann_topk_bruteforce",
+                 "window_rownum", "dedup_minhash_md5", "ann_topk_bruteforce",
                  "ann_topk_ivf", "asof_join_events", "range_join_events"):
         sections.append((name, grab(q[name](spark, sf))))
+
+    # materialized ANN indexes: the per-query scan must PRUNE to the
+    # probe partitions (PartitionFilters on bucket / cid)
+    import tempfile
+    from topo2osm_spark.operators import similarity as sim
+    qv = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    idx_root = tempfile.mkdtemp(prefix="plans_idx_")
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    sim.write_lsh_index(embs, f"{idx_root}/lsh", dim=64)
+    sim.write_ivf_index(embs, f"{idx_root}/ivf")
+    sections.append(("ann_topk_lsh_indexed (materialized index)",
+                     grab(sim.lsh_topk_indexed(spark, f"{idx_root}/lsh", qv))))
+    sections.append(("ann_topk_ivf_indexed (materialized index)",
+                     grab(sim.ivf_topk_indexed(spark, f"{idx_root}/ivf", qv))))
 
     # simple-mode plan for codegen detection (the `*(n)` markers —
     # formatted mode does not annotate WholeStageCodegen spans). AQE
@@ -53,6 +67,7 @@ def main() -> int:
 
     docs = documents_df(spark, 6, n_municipalities=3, seed=42)
     out = run_pipeline(spark, docs, persist=False)
+    sections.append(("pipeline:points", grab(out["points"])))
     sections.append(("pipeline:ways", grab(out["ways"])))
     # capture the tile plan's AT-SCALE shape: the audit corpus is tiny,
     # so Catalyst auto-broadcasts whatever fits. Disabling the auto
@@ -90,6 +105,12 @@ def main() -> int:
         "tile cell math is JVM (no Python eval in tile plan)":
             "ArrowEvalPython" not in sections[-1][1]
             and "BatchEvalPython" not in sections[-1][1],
+        "LSH index scan prunes partitions (bucket)":
+            "PartitionFilters" in sections[9][1] and "bucket" in sections[9][1],
+        "IVF index scan prunes partitions (cid)":
+            "PartitionFilters" in sections[10][1] and "cid" in sections[10][1],
+        "points tag join broadcasts (nothing corpus-sized)":
+            "BroadcastHashJoin" in sections[11][1],
     }
     for k, v in checks.items():
         print(("PASS " if v else "FAIL ") + k)
