@@ -83,8 +83,11 @@ def submit(zpath: str, master: str, input_path: str, shuffle: int = 16,
     ]
     try:
         for attempt in (0, 1):
+            # 1M-doc local[1] reps run ~60-70 min — 3600 killed a whole
+            # bench mid-rep; the per-rep ceiling must clear the slowest
+            # configured (corpus, parallelism) pair with margin
             proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  cwd=REPO, timeout=3600)
+                                  cwd=REPO, timeout=9000)
             lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
             if lines:
                 return json.loads(lines[-1])
@@ -165,8 +168,16 @@ def main() -> int:
     results: dict[str, list[dict]] = {args.n_master: [], args.n4_master: []}
     for rep in range(args.reps):
         for master in (args.n_master, args.n4_master):
-            rec = submit(zpath, master, base, shuffle=shuffle,
-                         mem=args.mem)
+            try:
+                rec = submit(zpath, master, base, shuffle=shuffle,
+                             mem=args.mem)
+            except Exception as exc:  # one lost rep must not kill the bench
+                record({"n_docs": args.n_docs, "master": master, "rep": rep,
+                        "error": repr(exc)[:500]})
+                print(json.dumps({"mode": "cores", "master": master,
+                                  "rep": rep, "error": repr(exc)[:200]}),
+                      flush=True)
+                continue
             rec["rep"] = rep
             results[master].append(rec)
             record({"n_docs": args.n_docs, "master": master, "rep": rep,
@@ -178,6 +189,11 @@ def main() -> int:
                               "wall_sec": rec["wall_sec"],
                               "docs_per_sec": rec["docs_per_sec"]}), flush=True)
 
+    if not results[args.n_master] or not results[args.n4_master]:
+        print(json.dumps({"error": "insufficient completed reps",
+                          "n": len(results[args.n_master]),
+                          "n4": len(results[args.n4_master])}))
+        return 1
     med_n = statistics.median(r["docs_per_sec"] for r in results[args.n_master])
     med_4n = statistics.median(r["docs_per_sec"] for r in results[args.n4_master])
     eff = (med_4n / med_n) / 4.0
