@@ -64,7 +64,16 @@ def main() -> int:
     spark.catalog.clearCache()
 
     # --- representative operator queries on the driver tables ---
-    qmap = entry_mod.queries()
+    # dedup_minhash_lsh left the 50-entry driver registry in r3 (its
+    # semantics are oracle-proven by the md5-mirror variant), but the
+    # xxhash64 PRODUCTION path is what runs at 100 TB — keep timing it
+    # directly so the r1/r2/r3 bench series stays comparable.
+    def _prod_minhash(spark_, sf_):
+        from topo2osm_spark.operators.dedup import minhash_lsh_dedup
+        d = spark_.read.parquet(f"{sf_}/documents.parquet")
+        return minhash_lsh_dedup(d, threshold=0.5)
+
+    qmap = {**entry_mod.queries(), "dedup_minhash_lsh": _prod_minhash}
     for qn in BENCH_QUERIES:
         t1 = time.monotonic()
         df = qmap[qn](spark, sf_dir)

@@ -52,6 +52,10 @@ def main() -> int:
     ap.add_argument("--skip-counts", action="store_true",
                     help="skip post-write count jobs + metrics table "
                          "(scaling benches: removes fixed driver latency)")
+    ap.add_argument("--xml", action="store_true",
+                    help="also write OSM XML shards (<out>/xml_*) — the "
+                         "reference converter's native output format; one "
+                         ".osm document per partition shard")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -139,6 +143,16 @@ def main() -> int:
                 stage_secs[name] = secs
     names = ("nodes", "ways", "relations", "tile_assignments", "echo",
              "points")
+    if args.xml:
+        from topo2osm_spark.sources import osm_xml
+        tx = time.monotonic()
+        for xname, xdf in (
+                ("nodes", osm_xml.nodes_to_xml(out["nodes"])),
+                ("points", osm_xml.points_to_xml(out["points"])),
+                ("ways", osm_xml.ways_to_xml(out["ways"])),
+                ("relations", osm_xml.relations_to_xml(out["relations"]))):
+            osm_xml.write_xml_shards(xdf, os.path.join(args.out, "xml_" + xname))
+        stage_secs["xml"] = round(time.monotonic() - tx, 2)
     counts = {}
     if not args.skip_counts:
         counts = {name: spark.read.parquet(os.path.join(args.out, "out_" + name)).count()

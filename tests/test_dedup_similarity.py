@@ -326,3 +326,28 @@ def test_embedding_cosine_verify_via_lsh_candidates(spark):
     found = pairs.count()
     # planted near-dups (i, i + n/2) are near-certain bucket collisions
     assert found >= 0.8 * (n // 2)
+
+
+def test_winnow_fingerprints_shared_run_guarantee(spark):
+    """Winnowing (k=5, w=4): documents sharing a token run of length
+    >= k+w-1 = 8 share at least one fingerprint; disjoint documents
+    share none. Fingerprints are order-insensitive sets (sorted,
+    distinct) computed fully JVM-side."""
+    from topo2osm_spark.functions.text import winnow_fingerprints
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [(1, f"one two three {shared} four five"),
+         (2, f"{shared} completely different tail words here"),
+         (3, "nothing in common with the others at all town")],
+        "id long, text string")
+    rows = {r["id"]: set(r["fp"]) for r in
+            df.select("id", winnow_fingerprints(F.col("text")).alias("fp"))
+              .collect()}
+    assert rows[1] & rows[2], "shared 8-token run must share a fingerprint"
+    assert not (rows[1] & rows[3])
+    assert not (rows[2] & rows[3])
+    # deterministic: same text -> same fingerprint set
+    again = {r["id"]: set(r["fp"]) for r in
+             df.select("id", winnow_fingerprints(F.col("text")).alias("fp"))
+               .collect()}
+    assert again == rows

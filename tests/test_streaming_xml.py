@@ -101,3 +101,21 @@ def test_osm_xml_sink(spark, pipeline_out, tmp_path):
     assert types.get("type") == "multipolygon"
     roles = {m.get("role") for m in r0.findall("member")}
     assert "outer" in roles
+
+
+def test_osm_xml_tagged_points(spark, pipeline_out):
+    """POI nodes in the XML sink: tagged points serialize as <node>
+    elements WITH <tag/> children (peaks, elevation labels)."""
+    from topo2osm_spark.sources import osm_xml
+    xml = osm_xml.points_to_xml(
+        pipeline_out["points"].coalesce(1)).collect()[0]["xml"]
+    root = ET.fromstring(xml)
+    nodes = root.findall("node")
+    assert nodes
+    tags_seen = set()
+    for n in nodes:
+        assert int(n.get("id")) < 0
+        for t in n.findall("tag"):
+            tags_seen.add((t.get("k"), t.get("v")))
+    assert ("natural", "peak") in tags_seen
+    assert any(k == "ele" for k, _ in tags_seen)

@@ -94,3 +94,33 @@ def normalized(text: Column) -> Column:
 
 def fingerprint_md5(text: Column) -> Column:
     return F.md5(F.encode(normalized(text), "UTF-8"))
+
+
+def kgram_hashes(text: Column, k: int = 5) -> Column:
+    """Rolling k-gram token hashes: xxhash64 of each k-token window of
+    the normalized text, in document order. Pure JVM higher-order
+    functions (sequence + transform + slice) — the distributed
+    equivalent of a Rabin-Karp scan, O(n·k) work per doc entirely in
+    codegen, no Python."""
+    toks = F.split(normalized(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))))
+
+
+def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): from the rolling k-gram hash
+    sequence, keep the MINIMUM of every w-length window, dedup'd and
+    sorted. Guarantees: any shared token run of length >= k + w - 1
+    between two documents yields at least one shared fingerprint, so
+    containment/overlap detection is exact above that span length —
+    stronger than whole-document md5 (op: "document fingerprinting,
+    rolling hash"). Entirely JVM HOFs: O(n·(k+w)) codegen work per
+    doc, one shuffle only if the caller explodes for a join."""
+    hs = kgram_hashes(text, k)
+    n = F.size(hs)
+    widx = F.sequence(F.lit(1), F.greatest(n - F.lit(w - 1), F.lit(0)))
+    mins = F.transform(widx, lambda i: F.array_min(F.slice(hs, i, w)))
+    return F.array_sort(F.array_distinct(mins))

@@ -12,7 +12,9 @@ corpus, each scale-shaped for 100 TB inputs:
               within bit-band buckets
 - token jaccard: exact set-overlap verify, cohort-bounded, with a
               document-frequency cap (stop tokens never join)
-- embedding cosine: near-dup pairs by cosine within cohort buckets
+- embedding cosine: VERIFY stage over LSH candidate pairs (banded
+              random hyperplanes) by default; cohort-exhaustive form
+              explicit (`_exhaustive`) for bounded cohorts / oracles
 
 The LSH patterns follow the public MinHash/LSH literature (Broder;
 Leskovec et al., Mining of Massive Datasets).

@@ -243,7 +243,7 @@ def _rank_centroids_local(path: str, query: list[float],
     at n_centroids rows regardless of corpus size."""
     import pyarrow.dataset as ds
     t = ds.dataset(f"{path}/centroids", format="parquet").to_table()
-    cids = np.asarray(t.column("cid"))
+    cids = np.asarray(t.column("cid").to_pylist())
     cvecs = np.stack([np.asarray(v, dtype=np.float64)
                       for v in t.column("cvec").to_pylist()])
     q = np.asarray(query, dtype=np.float64)

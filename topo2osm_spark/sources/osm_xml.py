@@ -69,6 +69,28 @@ def nodes_to_xml(nodes: DataFrame) -> DataFrame:
     return nodes.select("node_id", "lat", "lon").mapInArrow(ser, _OUT)
 
 
+def points_to_xml(points: DataFrame) -> DataFrame:
+    """points(node_id, lat, lon, tags) -> XML shards of TAGGED nodes
+    (POI output: Høydepunkt peaks, Høydetall elevation labels — the
+    reference emits these as nodes with <tag/> children). Emit this
+    AFTER plain nodes and dedupe by id downstream if a tagged point
+    shares a way vertex (same node id by construction — quantize+snap)."""
+
+    def ser(batches):
+        parts = [_HEADER]
+        for b in batches:
+            for row in b.to_pylist():
+                parts.append(
+                    f"\n  <node id='{_neg(row['node_id'])}' "
+                    f"lat='{row['lat']:.7f}' lon='{row['lon']:.7f}' "
+                    f"version='1'>{_tags_xml(row['tags'])}\n  </node>")
+        parts.append("\n</osm>\n")
+        yield pa.RecordBatch.from_pylist([{"xml": "".join(parts)}],
+                                         schema=pa.schema([pa.field("xml", pa.string())]))
+
+    return points.select("node_id", "lat", "lon", "tags").mapInArrow(ser, _OUT)
+
+
 def ways_to_xml(ways: DataFrame) -> DataFrame:
     """ways(way_id, node_ids, tags, emit) -> XML shards (emit only)."""
 
