@@ -57,15 +57,67 @@ def summarize(n_docs: int, levels: dict[str, list[float]]) -> dict:
     return out
 
 
+def write_result_md(s: dict) -> str:
+    """Regenerate BENCH/SCALING_RESULT_<n>.md from the jsonl-derived
+    summary. Unlike scaling_bench.py's in-process writer, this covers
+    campaigns whose bench process was killed mid-flight (the completed
+    runs live only in the jsonl) and always states the rep count."""
+    md = os.path.join(REPO, "BENCH", f"SCALING_RESULT_{s['n_docs']}.md")
+    verdict = ("MEETS" if s.get("meets_target") else "below") \
+        if "scaling_efficiency" in s else "incomplete"
+    lines = [
+        f"# Scaling result — {s['n_docs']} docs, {N_MASTER} vs "
+        f"{N4_MASTER} (derived from BENCH/scaling_runs.jsonl by "
+        "scaling_median.py)",
+        "",
+        f"Input: {s['n_docs']} synthesized interleaved documents "
+        "(seed 42, coastal-Zipf skew, FIXTURES.md generator), "
+        "materialized ONCE to parquet; job = `spark-submit --py-files "
+        "engine.zip jobs/convert.py --input ...` (full SOSI->OSM "
+        "conversion incl. all output writes). Identical config at both "
+        "levels (data-scaled shuffle partitions, 24g heap, AQE off, "
+        "disk scratch). Statistic: MEDIAN docs/sec over ALL completed "
+        "runs per level in the append-only jsonl.",
+        "",
+        "| config | reps | docs/sec (each) | median |",
+        "|---|---|---|---|",
+        f"| {N_MASTER} (N) | {s['reps_N']} | "
+        + ", ".join(str(v) for v in s["docs_per_sec_N"])
+        + f" | {s.get('median_N', '—')} |",
+        f"| {N4_MASTER} (4N) | {s['reps_4N']} | "
+        + ", ".join(str(v) for v in s["docs_per_sec_4N"])
+        + f" | {s.get('median_4N', '—')} |",
+        "",
+        f"**Median scaling efficiency "
+        f"{s.get('scaling_efficiency', 'n/a')} ({verdict} the >= 0.8 "
+        "target; the MEDIAN over completed runs is the protocol "
+        "statistic). Sorted-rep-pair efficiencies (diagnostic): "
+        f"{s.get('per_pair_efficiency', [])}.**",
+        "",
+        f"Raw per-run JSON: BENCH/scaling_runs.jsonl "
+        f"(n_docs={s['n_docs']} lines). Reproduce: "
+        f"`python scripts/scaling_median.py --n-docs {s['n_docs']}`.",
+        "",
+    ]
+    with open(md, "w") as f:
+        f.write("\n".join(lines))
+    return md
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=1024000)
     ap.add_argument("--all", action="store_true")
+    ap.add_argument("--write-md", action="store_true",
+                    help="also regenerate BENCH/SCALING_RESULT_<n>.md")
     args = ap.parse_args()
     by = load_runs()
     sizes = sorted(by) if args.all else [args.n_docs]
     for s in sizes:
-        print(json.dumps(summarize(s, by[s])))
+        summary = summarize(s, by[s])
+        print(json.dumps(summary))
+        if args.write_md:
+            print("wrote", write_result_md(summary))
     return 0
 
 
