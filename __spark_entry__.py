@@ -47,7 +47,9 @@ def _geo_outputs(spark: SparkSession, sf_dir: str) -> dict:
     The corpus is synthesized deterministically (seed 42) at a fixed
     small size — geometry queries are correctness surfaces; scale is
     exercised by bench.py / jobs/convert.py."""
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): Python id()s are reused after GC, so
+    # a long-lived process could alias a dead session's cached outputs.
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _GEO_CACHE:
         from topo2osm_spark.plans.pipeline import run_pipeline
         from topo2osm_spark.sources.fixtures import documents_df

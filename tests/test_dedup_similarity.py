@@ -351,3 +351,27 @@ def test_winnow_fingerprints_shared_run_guarantee(spark):
              df.select("id", winnow_fingerprints(F.col("text")).alias("fp"))
                .collect()}
     assert again == rows
+
+
+def test_winnow_and_kgrams_short_docs(spark):
+    """Docs shorter than k tokens (k=5) or with fewer than w k-gram
+    windows (w=4, i.e. < k+w-1 = 8 tokens) must yield EMPTY hash /
+    fingerprint arrays, not crash: sequence(1, 0) is descending in
+    Spark and used to feed slice() a 0 start index
+    (INVALID_PARAMETER_VALUE.START). Null text likewise."""
+    from topo2osm_spark.functions.text import kgram_hashes, winnow_fingerprints
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two three four"),          # < k tokens
+         (4, "a b c d e f"),                                      # k<=n<k+w-1
+         (5, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (6, None)],
+        "id long, text string")
+    out = {r["id"]: (r["kh"], r["fp"]) for r in df.select(
+        "id",
+        kgram_hashes(F.col("text")).alias("kh"),
+        winnow_fingerprints(F.col("text")).alias("fp")).collect()}
+    for i in (1, 2, 3, 6):
+        assert out[i] == ([], []), f"doc {i} must be empty, got {out[i]}"
+    kh4, fp4 = out[4]
+    assert len(kh4) == 2 and fp4 == []   # 6 tokens -> 2 kgrams, no w-window
+    kh5, fp5 = out[5]
+    assert len(kh5) == 6 and len(fp5) >= 1

@@ -72,6 +72,33 @@ def test_stream_dedup_exact_stateful(spark, tmp_path):
     assert "d" not in emitted_docs  # cross-batch duplicate suppressed
 
 
+def test_stream_dedup_state_fn_empty_frames():
+    """A state group whose batch iterator yields only EMPTY frames
+    (legal per the applyInPandasWithState contract) must emit nothing
+    and create no state — previously crashed on unbound first_spans."""
+    import pandas as pd
+    from topo2osm_spark.streaming.stream import _dedup_state_fn
+
+    class FakeState:
+        exists = False
+        def __init__(self):
+            self.updated = None
+        def update(self, v):
+            self.updated = v
+
+    empty = pd.DataFrame({"doc_id": [], "n_spans": []})
+    st = FakeState()
+    out = list(_dedup_state_fn(("fp0",), iter([empty, empty]), st))
+    assert len(out) == 1 and len(out[0]) == 0
+    assert st.updated is None  # no state created for an all-empty group
+
+    # sanity: non-empty group still emits once and seeds state
+    st2 = FakeState()
+    one = pd.DataFrame({"doc_id": ["a"], "n_spans": [3]})
+    out2 = pd.concat(list(_dedup_state_fn(("fp1",), iter([empty, one]), st2)))
+    assert list(out2["doc_id"]) == ["a"] and st2.updated == (1, "a")
+
+
 def test_osm_xml_sink(spark, pipeline_out, tmp_path):
     from topo2osm_spark.sources import osm_xml
     nodes_xml = osm_xml.nodes_to_xml(pipeline_out["nodes"].limit(50).coalesce(1))

@@ -104,7 +104,11 @@ def kgram_hashes(text: Column, k: int = 5) -> Column:
     codegen, no Python."""
     toks = F.split(normalized(text), " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, so a doc with fewer
+    # than k tokens (or null text, where size() = -1) must short-circuit
+    # to an empty window-index array instead of clamping the upper bound.
+    idx = F.when(n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1))
+                 ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))))
 
@@ -121,6 +125,9 @@ def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     doc, one shuffle only if the caller explodes for a join."""
     hs = kgram_hashes(text, k)
     n = F.size(hs)
-    widx = F.sequence(F.lit(1), F.greatest(n - F.lit(w - 1), F.lit(0)))
+    # Same descending-sequence hazard as kgram_hashes: fewer than w
+    # k-gram hashes means no complete window -> empty fingerprint set.
+    widx = F.when(n >= F.lit(w), F.sequence(F.lit(1), n - F.lit(w - 1))
+                  ).otherwise(F.array().cast("array<int>"))
     mins = F.transform(widx, lambda i: F.array_min(F.slice(hs, i, w)))
     return F.array_sort(F.array_distinct(mins))

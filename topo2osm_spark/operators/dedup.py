@@ -304,6 +304,12 @@ def embedding_cosine_pairs(embs: DataFrame, candidates: DataFrame | None = None,
     cohort-exhaustive form survives as the explicit
     `embedding_cosine_pairs_exhaustive` (exact; fine for bounded
     cohorts and as the oracle surface)."""
+    if isinstance(candidates, str):
+        raise TypeError(
+            "embedding_cosine_pairs's second parameter is now a candidate-"
+            f"pair DataFrame, not a cohort column name ({candidates!r}); "
+            "for cohort-exhaustive cosine use "
+            "embedding_cosine_pairs_exhaustive(embs, cohort_col=...).")
     if candidates is None:
         candidates = embedding_lsh_candidate_pairs(embs, id_col, vec_col)
     return _cosine_on_pairs(embs, candidates, id_col, vec_col, threshold)

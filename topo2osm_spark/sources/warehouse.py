@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import posixpath
 import time
 
@@ -155,17 +156,24 @@ class Warehouse:
         return out
 
     def _commit_manifest(self, name: str, man: dict) -> None:
-        """Write manifest via temp file + rename (atomic on real
-        filesystems; best-effort copy+delete on object stores — see
-        module docstring)."""
+        """Write manifest via temp file + rename. On a local filesystem
+        this MUST be os.replace (atomic overwrite): a delete-then-move
+        window would lose the committed manifest on a crash and silently
+        recompute the stage. Object stores have no atomic rename at all,
+        so delete+move is the honest best-effort there (see module
+        docstring)."""
+        from pyarrow import fs as pafs
         path = self._fs_path(name)
         tmp = posixpath.join(path, MANIFEST + ".tmp")
         final = posixpath.join(path, MANIFEST)
         with self._fs.open_output_stream(tmp) as f:
             f.write(json.dumps(man).encode())
-        if self._exists(final):
-            self._fs.delete_file(final)
-        self._fs.move(tmp, final)
+        if isinstance(self._fs, pafs.LocalFileSystem):
+            os.replace(tmp, final)
+        else:
+            if self._exists(final):
+                self._fs.delete_file(final)
+            self._fs.move(tmp, final)
 
     def write(self, df: DataFrame, name: str, fp: str) -> DataFrame:
         """Materialize df -> parquet snapshot + manifest + lineage.

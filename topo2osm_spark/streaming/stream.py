@@ -53,6 +53,33 @@ def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
                     "n", "sum_value"))
 
 
+def _dedup_state_fn(key, pdfs, state):
+    """applyInPandasWithState body for stream_dedup_exact — module-level
+    so the empty-frame-iterator edge is unit-testable with a mock state.
+    A group whose iterator yields only empty frames (possible per the
+    API contract even though the memory-sink harness always delivers
+    >= 1 row per keyed group) must neither emit nor create state."""
+    import pandas as pd
+
+    fp = key[0]
+    n_new, first_doc, first_spans, emit = 0, None, 0, []
+    for pdf in pdfs:
+        for doc_id, n_spans in zip(pdf["doc_id"], pdf["n_spans"]):
+            n_new += 1
+            if first_doc is None:
+                first_doc = doc_id
+                first_spans = int(n_spans)
+    if state.exists:
+        (n_seen, first) = state.get
+        state.update((n_seen + n_new, first))
+    elif first_doc is not None:   # all-empty frame iterators create no state
+        state.update((n_new, first_doc))
+        emit.append({"fingerprint": fp, "doc_id": first_doc,
+                     "n_spans": first_spans, "first_seen": True})
+    yield pd.DataFrame(emit, columns=["fingerprint", "doc_id",
+                                      "n_spans", "first_seen"])
+
+
 def stream_dedup_exact(docs: DataFrame) -> DataFrame:
     """Custom STATEFUL streaming operator (applyInPandasWithState):
     first-seen-wins exact dedup over a growing documents stream.
@@ -70,31 +97,12 @@ def stream_dedup_exact(docs: DataFrame) -> DataFrame:
     must persist for the life of the stream (a TTL would re-admit old
     duplicates); for bounded-retention deployments pass the state
     through GroupStateTimeout.ProcessingTimeTimeout instead."""
-    import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = ("fingerprint string, doc_id string, n_spans int, "
                   "first_seen boolean")
     state_schema = "n_seen long, first_doc string"
-
-    def dedup_fn(key, pdfs, state):
-        fp = key[0]
-        n_new, first_doc, emit = 0, None, []
-        for pdf in pdfs:
-            for doc_id, n_spans in zip(pdf["doc_id"], pdf["n_spans"]):
-                n_new += 1
-                if first_doc is None:
-                    first_doc = doc_id
-                    first_spans = int(n_spans)
-        if state.exists:
-            (n_seen, first) = state.get
-            state.update((n_seen + n_new, first))
-        else:
-            state.update((n_new, first_doc))
-            emit.append({"fingerprint": fp, "doc_id": first_doc,
-                         "n_spans": first_spans, "first_seen": True})
-        yield pd.DataFrame(emit, columns=["fingerprint", "doc_id",
-                                          "n_spans", "first_seen"])
+    dedup_fn = _dedup_state_fn
 
     if "spans" in docs.columns:       # geo documents (input_hint shape)
         fingered = docs.select(
