@@ -210,11 +210,13 @@ def apply_snap(df: DataFrame, mapping: DataFrame, node_col: str = "node_id",
               .drop("__snap_src", "canon_id"))
 
 
-def snap_nodes_table(nodes: DataFrame, mapping: DataFrame) -> DataFrame:
+def snap_nodes_table(nodes: DataFrame, mapping: DataFrame,
+                     broadcast_hint: bool = True) -> DataFrame:
     """Fold snapped nodes into their canonical node: the canon keeps its
     coordinate (min-id wins, matching the reference's first-seen-wins
     dict insert) and absorbs the merged nodes' reference counts."""
-    rewritten = apply_snap(nodes.withColumn("orig_id", F.col("node_id")), mapping)
+    rewritten = apply_snap(nodes.withColumn("orig_id", F.col("node_id")),
+                           mapping, broadcast_hint=broadcast_hint)
     # the canonical id is the component MIN id, so min_by(orig_id)
     # recovers the canonical node's own coordinate
     return (rewritten.groupBy("node_id")

@@ -123,7 +123,8 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
                  max_way_nodes: int = splitops.MAX_WAY_NODES,
                  parse_partitions: int | None = None,
                  prefetch: bool = True,
-                 snap_max_abs_lat: float = 72.0) -> dict:
+                 snap_max_abs_lat: float = 72.0,
+                 snap_broadcast: bool | None = None) -> dict:
     """Full conversion; returns a dict of output DataFrames.
 
     input_fp: identity of the INPUT dataset, folded into the root of
@@ -150,6 +151,19 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     """
     from pyspark import StorageLevel
     level = getattr(StorageLevel, persist_level)
+    # snap_broadcast gates the broadcast hint on the snap-map rewrite
+    # joins. The mapping (non-identity labels only) is tiny at sandbox
+    # scale, but its size is DATA-DEPENDENT (proportional to
+    # near-duplicate boundary nodes — coastal-dense corpora grow it),
+    # so an unconditional hint is wrong at 100x. Auto policy: hint only
+    # when AQE is off (local benches, where the mapping is known-tiny
+    # and stats-free leaves would otherwise force a sort-merge join);
+    # with AQE on (the production default) pass no hint and let the
+    # runtime convert to broadcast from real stage stats — the same
+    # policy tiles.py uses for the media side.
+    if snap_broadcast is None:
+        snap_broadcast = str(spark.conf.get(
+            "spark.sql.adaptive.enabled", "true")).lower() != "true"
     # prefetch=True starts materializing each checkpointed stage the
     # moment its plan exists, overlapping the remaining driver-side
     # plan building with executor compute (see _Prefetcher). Only the
@@ -281,7 +295,9 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     snap_map = ck(nodeops.snap_mapping(nodes_raw, tol_m=snap_tol_m,
                                        max_abs_lat=snap_max_abs_lat),
                   "snap_map", snap_tol_m, snap_max_abs_lat)
-    nodes_out = ck(nodeops.snap_nodes_table(nodes_raw, snap_map), "nodes")
+    nodes_out = ck(nodeops.snap_nodes_table(nodes_raw, snap_map,
+                                            broadcast_hint=snap_broadcast),
+                   "nodes")
 
     # S7: re-collect way node lists in position order through the snap
     # map, then drop CONSECUTIVE duplicate ids: two adjacent vertices
@@ -289,7 +305,7 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     # (invalid OSM way geometry). First==last on closed rings survives
     # (they are never adjacent). JVM HOF filter — no Python.
     wn = nodeops.apply_snap(way_nodes.select("way_id", "pos", "node_id"),
-                            snap_map)
+                            snap_map, broadcast_hint=snap_broadcast)
     nids = F.transform("pn", lambda x: x["node_id"])
     way_node_lists = (wn.groupBy("way_id")
                         .agg(F.array_sort(F.collect_list(F.struct("pos", "node_id")))
@@ -355,7 +371,7 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     kp_snapped = nodeops.apply_snap(
         nodeops.quantize(kp_pts).select("doc_id", "span_idx", "obj_id",
                                         "node_id"),
-        snap_map)
+        snap_map, broadcast_hint=snap_broadcast)
     kp_missing = (kp_snapped
                   .join(nodes_out.select("node_id"), "node_id", "left_anti")
                   .select(F.lit("kp_node_missing").alias("issue"),
@@ -365,9 +381,13 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     # (Høydepunkt -> natural=peak) and TEKST elevation labels
     # (Høydetall -> ele=<STRENG>), routed through the same broadcast
     # tag join as ways. node_id goes through quantize+snap, so a label
-    # sitting on a way vertex resolves to that vertex's canonical node;
-    # lat/lon are the point's own quantized position (<= tol from the
-    # canonical node's — no data-sized join back to the node table).
+    # sitting on a way vertex resolves to that vertex's canonical node.
+    # Published lat/lon are the CANONICAL node's coordinates: the snap
+    # map is enriched with the canon coords (snap-map-sized join
+    # against the persisted node table), so a consumer joining points
+    # to nodes on node_id never sees divergent positions. Points whose
+    # id did not snap keep their own quantized position, which IS the
+    # canonical node's coordinate by construction.
     point_objs = (geo.where(F.col("obj_kind").isin("PUNKT", "TEKST"))
                   .select("doc_id", "span_idx", "obj_id", "objtype", "streng",
                           F.col("obj_kind").alias("geom_kind"),
@@ -375,12 +395,30 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
                           F.element_at("lons", 1).alias("lon"))
                   .where(F.col("lat").isNotNull()))
     tagged_pts = tags.with_streng_ele(tags.join_tags(point_objs, spark))
-    pts_snapped = nodeops.apply_snap(nodeops.quantize(tagged_pts), snap_map)
+    snap_map_small = F.broadcast(snap_map) if snap_broadcast else snap_map
+    snap_map_c = (snap_map_small.join(
+        nodes_out.select(F.col("node_id").alias("canon_id"),
+                         F.col("lat").alias("c_lat"),
+                         F.col("lon").alias("c_lon")),
+        "canon_id")
+        .select(F.col("node_id").alias("__snap_src"), "canon_id",
+                "c_lat", "c_lon"))
+    if snap_broadcast:
+        snap_map_c = F.broadcast(snap_map_c)
+    q_pts = nodeops.quantize(tagged_pts)
+    pts_snapped = (q_pts.join(snap_map_c,
+                              q_pts["node_id"] == snap_map_c["__snap_src"],
+                              "left")
+                   .withColumn("node_id", F.coalesce("canon_id", "node_id")))
     points_out = (pts_snapped.where(F.col("emit"))
                   .select("node_id", "doc_id", "span_idx", "obj_id",
                           "objtype",
-                          (F.col("qlat") / F.lit(10.0 ** nodeops.QUANT)).alias("lat"),
-                          (F.col("qlon") / F.lit(10.0 ** nodeops.QUANT)).alias("lon"),
+                          F.coalesce(
+                              "c_lat",
+                              F.col("qlat") / F.lit(10.0 ** nodeops.QUANT)).alias("lat"),
+                          F.coalesce(
+                              "c_lon",
+                              F.col("qlon") / F.lit(10.0 ** nodeops.QUANT)).alias("lon"),
                           "tags"))
 
     out = {
@@ -399,55 +437,94 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
         # unless a caller acts on them
         "_internal": {
             "way_nodes": way_nodes,
+            "nodes_raw": nodes_raw,
             "snap_map": snap_map,
             "wn_snapped": wn,
+            "kp_snapped": kp_snapped,
             "way_node_lists": way_node_lists,
             "tagged_ways_presplit": ways_presplit,
+            "flates": flates,
+            "curves": curves,
         },
     }
 
     if run_pip:
-        # S9a: FLATE interior-point membership (op 14)
+        # S9a: FLATE interior-point membership (op 14), HOLE-AWARE.
+        # Candidates come from ALL closed rings (outer + holes) of each
+        # FLATE; a point is contained in the flate iff it is inside at
+        # least one outer ring AND inside no hole ring — a point
+        # sitting in a lake ring punched out of a forest FLATE is NOT
+        # in the forest. One extra small groupBy over the hit set;
+        # candidate generation stays the same cell equi-join.
         pts = (flates.where(F.size("lats") > 0)
                .withColumn("pt_uid", content_id("doc_id", "span_idx", F.lit("P"), "obj_id"))
                .select("pt_uid", F.col("doc_id").alias("pt_doc"),
                        F.col("obj_id").alias("pt_flate"),
                        F.element_at("lats", 1).alias("lat"),
                        F.element_at("lons", 1).alias("lon")))
-        outer_rings = (rings.where(~F.col("is_hole") & F.col("closed"))
-                       .withColumn("ring_uid", F.col("way_id")))
-        membership = pip.pip_join(
-            pts.select("pt_uid", "lat", "lon"), outer_rings,
+        closed_rings = (rings.where(F.col("closed"))
+                        .withColumn("ring_uid", F.col("way_id")))
+        hits = pip.pip_join(
+            pts.select("pt_uid", "lat", "lon"), closed_rings,
             ["pt_uid"], ["ring_uid"])
+        ring_meta = closed_rings.select(
+            "ring_uid", F.col("doc_id").alias("ring_doc_id"), "span_idx",
+            F.col("flate_id").alias("ring_flate_id"),
+            F.col("objtype").alias("ring_objtype"), "is_hole", "area")
+        hitm = hits.join(ring_meta, "ring_uid")
         pt_meta = pts.select("pt_uid", "pt_doc", "pt_flate").join(
             flates.select(F.col("doc_id").alias("pt_doc"),
                           F.col("obj_id").alias("pt_flate"),
                           F.col("objtype").alias("pt_objtype")),
             ["pt_doc", "pt_flate"])
-        out["membership"] = (membership
+        flate_member = (hitm.groupBy("pt_uid", "ring_doc_id", "span_idx",
+                                     "ring_flate_id", "ring_objtype")
+                        .agg(F.max((~F.col("is_hole")).cast("int")).alias("in_outer"),
+                             F.max(F.col("is_hole").cast("int")).alias("in_hole"))
+                        .where((F.col("in_outer") == 1) & (F.col("in_hole") == 0))
+                        .drop("in_outer", "in_hole"))
+        out["membership"] = (flate_member
             .join(pt_meta, "pt_uid")
-            .join(outer_rings.select("ring_uid", "doc_id", "span_idx",
-                                     "flate_id", F.col("objtype").alias("ring_objtype")),
-                  "ring_uid")
-            .select(F.col("pt_doc").alias("doc_id"), F.col("pt_flate").alias("flate_id"),
-                    "pt_objtype",
-                    F.col("doc_id").alias("ring_doc_id"), "span_idx",
-                    F.col("flate_id").alias("ring_flate_id"), "ring_objtype"))
+            .select(F.col("pt_doc").alias("doc_id"),
+                    F.col("pt_flate").alias("flate_id"), "pt_objtype",
+                    "ring_doc_id", "span_idx", "ring_flate_id",
+                    "ring_objtype"))
 
         # island containment hierarchy (SURVEY.md §2.12): a land-class
         # FLATE whose interior point falls inside a DIFFERENT water-class
-        # FLATE's outer ring is an island of that water body.
+        # FLATE's OUTER ring is an island of that water body. Containment
+        # here is deliberately outer-only: an island typically coincides
+        # with a hole punched in the water polygon, so hole-subtracted
+        # membership would erase exactly the rows this surface exists
+        # for. When water bodies nest (lake on an island in a bigger
+        # lake), the island is attributed to the SMALLEST containing
+        # water ring — row_number over ring area with id tie-breaks.
         water_types = ("Innsjø", "InnsjøRegulert", "ElvBekk", "Havflate")
         land_types = ("Skog", "Myr", "DyrketMark", "SnøIsbre")
-        m = out["membership"]
-        out["islands"] = (m.where(
-            F.col("ring_objtype").isin(*water_types)
-            & F.col("pt_objtype").isin(*land_types)
-            & ~((F.col("doc_id") == F.col("ring_doc_id"))
-                & (F.col("flate_id") == F.col("ring_flate_id"))))
-            .select("doc_id", "flate_id", F.col("pt_objtype").alias("island_objtype"),
-                    "ring_doc_id", F.col("ring_flate_id").alias("water_flate_id"),
+        from pyspark.sql import Window as _W
+        outer_hits = (hitm.where(~F.col("is_hole"))
+                      .join(pt_meta, "pt_uid")
+                      .where(F.col("ring_objtype").isin(*water_types)
+                             & F.col("pt_objtype").isin(*land_types)
+                             & ~((F.col("pt_doc") == F.col("ring_doc_id"))
+                                 & (F.col("pt_flate") == F.col("ring_flate_id")))))
+        w_small = _W.partitionBy("pt_uid").orderBy(
+            "area", "ring_doc_id", "ring_flate_id", "span_idx")
+        out["islands"] = (outer_hits
+            .withColumn("__rn", F.row_number().over(w_small))
+            .where(F.col("__rn") == 1)
+            .select(F.col("pt_doc").alias("doc_id"),
+                    F.col("pt_flate").alias("flate_id"),
+                    F.col("pt_objtype").alias("island_objtype"),
+                    "ring_doc_id",
+                    F.col("ring_flate_id").alias("water_flate_id"),
                     F.col("ring_objtype").alias("water_objtype")))
+        # oracle/diagnostic surfaces for the PIP suite
+        out["_internal"]["pip_points"] = pts.join(pt_meta.select(
+            "pt_uid", "pt_objtype"), "pt_uid")
+        out["_internal"]["pip_rings"] = closed_rings.select(
+            "ring_uid", "doc_id", "span_idx", "flate_id", "objtype",
+            "is_hole", "area", "lats", "lons")
 
     if run_tiles:
         # S9b: raster<->vector join — tiles containing >=1 way node
