@@ -146,9 +146,14 @@ def main() -> int:
     if args.xml:
         from topo2osm_spark.sources import osm_xml
         tx = time.monotonic()
+        # single-definition node space: tagged point ids are emitted
+        # ONCE (tags merged, canonical coords) and anti-joined out of
+        # the plain node sink — never two <node> elements per id.
+        plain_nodes, tagged_nodes = osm_xml.split_tagged_nodes(
+            out["nodes"], out["points"])
         for xname, xdf in (
-                ("nodes", osm_xml.nodes_to_xml(out["nodes"])),
-                ("points", osm_xml.points_to_xml(out["points"])),
+                ("nodes", osm_xml.nodes_to_xml(plain_nodes)),
+                ("points", osm_xml.points_to_xml(tagged_nodes)),
                 ("ways", osm_xml.ways_to_xml(out["ways"])),
                 ("relations", osm_xml.relations_to_xml(out["relations"]))):
             osm_xml.write_xml_shards(xdf, os.path.join(args.out, "xml_" + xname))

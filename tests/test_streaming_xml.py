@@ -146,3 +146,35 @@ def test_osm_xml_tagged_points(spark, pipeline_out):
             tags_seen.add((t.get("k"), t.get("v")))
     assert ("natural", "peak") in tags_seen
     assert any(k == "ele" for k, _ in tags_seen)
+
+
+def test_split_tagged_nodes(spark, pipeline_out):
+    """--xml node-space partition: every node id is defined exactly once
+    (tagged points absorb their shared-node twin; plain side anti-joined),
+    and tag maps merging on one node id resolve duplicate keys to MIN."""
+    from topo2osm_spark.sources import osm_xml
+    plain, tagged = osm_xml.split_tagged_nodes(
+        pipeline_out["nodes"], pipeline_out["points"])
+    plain_ids = {r["node_id"] for r in plain.select("node_id").collect()}
+    tagged_ids = {r["node_id"] for r in tagged.select("node_id").collect()}
+    node_ids = {r["node_id"]
+                for r in pipeline_out["nodes"].select("node_id").collect()}
+    point_ids = {r["node_id"]
+                 for r in pipeline_out["points"].select("node_id").collect()}
+    assert tagged_ids == point_ids
+    assert plain_ids == node_ids - point_ids      # no id defined twice
+    assert plain_ids.isdisjoint(tagged_ids)
+
+    # duplicate node id across two points: tags merge, min value wins
+    pts = spark.createDataFrame(
+        [(-1, 1.0, 2.0, {"ele": "20", "name": "b"}),
+         (-1, 1.0, 2.0, {"ele": "10"}),
+         (-2, 3.0, 4.0, {"natural": "peak"})],
+        "node_id long, lat double, lon double, tags map<string,string>")
+    nds = spark.createDataFrame(
+        [(-1, 1.0, 2.0), (-3, 5.0, 6.0)], "node_id long, lat double, lon double")
+    p2, t2 = osm_xml.split_tagged_nodes(nds, pts)
+    rows = {r["node_id"]: r["tags"] for r in t2.collect()}
+    assert rows[-1] == {"ele": "10", "name": "b"}
+    assert rows[-2] == {"natural": "peak"}
+    assert [r["node_id"] for r in p2.collect()] == [-3]

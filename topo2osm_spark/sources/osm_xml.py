@@ -91,6 +91,42 @@ def points_to_xml(points: DataFrame) -> DataFrame:
     return points.select("node_id", "lat", "lon", "tags").mapInArrow(ser, _OUT)
 
 
+def split_tagged_nodes(nodes: DataFrame, points: DataFrame
+                       ) -> tuple[DataFrame, DataFrame]:
+    """Partition the node space for a valid single-definition XML export.
+
+    Tagged point ids ALSO live in the shared node table (points feed
+    the node space through quantize+snap), so emitting both sinks
+    verbatim would define the same node id twice — invalid OSM XML.
+    Returns (plain_nodes, tagged_nodes):
+
+    - tagged_nodes: ONE row per point node id; tag maps of points
+      sharing a node id are merged (duplicate keys resolved to the
+      MIN value — deterministic under any partitioning); coordinates
+      are the canonical node coordinates (points already publish them,
+      plans/pipeline.py points_out contract).
+    - plain_nodes: the node table MINUS the tagged ids (left_anti).
+
+    Both sides stay JVM-side; the anti-join's right side is the small
+    emitted-points id set (AQE broadcasts it from real stats)."""
+    empty_map = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>"))
+    tag_entries = (points
+                   .select("node_id", F.explode(F.map_entries("tags")).alias("e"))
+                   .groupBy("node_id", F.col("e.key").alias("k"))
+                   .agg(F.min(F.col("e.value")).alias("v")))
+    merged_tags = (tag_entries.groupBy("node_id")
+                   .agg(F.map_from_entries(
+                       F.array_sort(F.collect_list(F.struct("k", "v"))))
+                       .alias("tags")))
+    tagged = (points.groupBy("node_id")
+              .agg(F.min("lat").alias("lat"), F.min("lon").alias("lon"))
+              .join(merged_tags, "node_id", "left")
+              .withColumn("tags", F.coalesce("tags", empty_map)))
+    plain = nodes.join(tagged.select("node_id"), "node_id", "left_anti")
+    return plain, tagged
+
+
 def ways_to_xml(ways: DataFrame) -> DataFrame:
     """ways(way_id, node_ids, tags, emit) -> XML shards (emit only)."""
 
