@@ -41,6 +41,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _GEO_CACHE: dict = {}
 
+# Fixed concave comb polygon (integer vertices, CCW) shared by the
+# pip_raycast_sig Spark query and its DuckDB oracle — both sides unroll
+# the SAME edge list into the SAME cross-multiplied crossing rule.
+_PIP_POLY = [(0, 0), (100, 0), (100, 100), (75, 100), (75, 30),
+             (50, 30), (50, 100), (25, 100), (25, 30), (0, 30)]
+
 
 def _geo_outputs(spark: SparkSession, sf_dir: str) -> dict:
     """Geometry corpus + pipeline outputs, memoized per (session, sf).
@@ -242,39 +248,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .select("c_custkey", "c_name").orderBy("c_custkey"))
     q["anti_join"] = anti_join
 
-    # ---- windows (ops 27, 28, 29) ----
-    def window_rownum(spark, sf):  # op 27: deterministic stable ids
+    # ---- windows (ops 27, 28, 29 — one shared window, three frames;
+    # merged from r3's window_rownum/window_running_sum/window_lag_gap
+    # to free 50-query-window slots for the geometry-math oracles; all
+    # three window ops keep their oracle signal in this one surface) ----
+    def window_funcs(spark, sf):
         _tune(spark)
         from pyspark.sql import Window as W
-        ev = _t(spark, sf, "events").where(F.col("user_id") < 50)
+        ev = _t(spark, sf, "events").where(F.col("user_id") < 20)
         w = W.partitionBy("user_id").orderBy("ts", "event_id")
-        return (ev.withColumn("rn", F.row_number().over(w))
-                  .where(F.col("rn") <= 3)
-                  .select("user_id", "event_id", "rn")
+        wsum = w.rowsBetween(W.unboundedPreceding, 0)
+        return (ev.select(
+                    "user_id", "event_id",
+                    F.row_number().over(w).alias("rn"),
+                    _dr(F.sum("value").over(wsum), 2).alias("running"),
+                    F.coalesce(F.lag("event_id").over(w),
+                               F.lit(-1)).alias("prev_id"))
                   .orderBy("user_id", "rn"))
-    q["window_rownum"] = window_rownum
-
-    def window_running_sum(spark, sf):  # op 29
-        _tune(spark)
-        from pyspark.sql import Window as W
-        ev = _t(spark, sf, "events").where(F.col("user_id") < 20)
-        w = (W.partitionBy("user_id").orderBy("ts", "event_id")
-              .rowsBetween(W.unboundedPreceding, 0))
-        return (ev.withColumn("running", _dr(F.sum("value").over(w), 2))
-                  .select("user_id", "event_id", "running")
-                  .orderBy("user_id", "event_id"))
-    q["window_running_sum"] = window_running_sum
-
-    def window_lag_gap(spark, sf):  # op 28: segment chaining validation
-        _tune(spark)
-        from pyspark.sql import Window as W
-        ev = _t(spark, sf, "events").where(F.col("user_id") < 20)
-        w = W.partitionBy("user_id").orderBy("ts", "event_id")
-        return (ev.withColumn("prev_id", F.lag("event_id").over(w))
-                  .where(F.col("prev_id").isNotNull())
-                  .select("user_id", "event_id", "prev_id")
-                  .orderBy("user_id", "event_id"))
-    q["window_lag_gap"] = window_lag_gap
+    q["window_funcs"] = window_funcs
 
     # ---- temporal joins (ops 19, 20 — operators/temporal.py) ----
     def asof_join_events(spark, sf):  # op 20: latest error <= each click
@@ -316,18 +307,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .orderBy(F.desc("price"), "o_orderkey").limit(10))
     q["topk_orders"] = topk_orders
 
-    # ---- set ops (ops 33, 34) ----
-    def union_distinct(spark, sf):
-        _tune(spark)
-        li = _t(spark, sf, "lineitem")
-        a = li.where(F.col("l_quantity") >= 49).select("l_orderkey")
-        b = li.where(F.col("l_discount") >= 0.09).select("l_orderkey")
-        return a.union(b).distinct().orderBy("l_orderkey")
-    q["union_distinct"] = union_distinct
-
-    def setop_orders(spark, sf):  # op 34: except AND intersect, one surface
-        # (merged from r2's separate except_orders/intersect_orders —
-        # 50-query-window budget; both set ops keep oracle coverage)
+    # ---- set ops (ops 33, 34 — union/except/intersect, one op-tagged
+    # surface; r3's separate union_distinct merged in for the 50-query
+    # window budget, its union-distinct oracle signal kept) ----
+    def setop_orders(spark, sf):
         _tune(spark)
         o = _t(spark, sf, "orders")
         a = o.where(F.col("o_totalprice") > 100000).select("o_orderkey")
@@ -337,7 +320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               .select(F.lit("except").alias("op"), "o_orderkey"))
         it = (a.intersect(bo)
               .select(F.lit("intersect").alias("op"), "o_orderkey"))
-        return ex.unionByName(it).orderBy("op", "o_orderkey")
+        un = (a.union(bf).distinct()
+              .select(F.lit("union").alias("op"), "o_orderkey"))
+        return ex.unionByName(it).unionByName(un).orderBy("op", "o_orderkey")
     q["setop_orders"] = setop_orders
 
     # ---- date/time (op 40) ----
@@ -674,6 +659,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out["integrity"]
     q["integrity_issues"] = integrity_issues
 
+    # ---- geometry-math oracle analogs (NEW r4): the pipeline-output
+    # geometry queries above are rows-only because DuckDB cannot parse
+    # SOSI; these three re-derive the same KERNEL MATH (quantize+dedup,
+    # shoelace orientation, even-odd ray cast) from the driver's
+    # documents table with integer-exact arithmetic, so the driver's
+    # value-hash compares Spark vs DuckDB bit-for-bit. Each is pinned
+    # to the production kernel by a pytest equivalence test
+    # (tests/test_geo_sig_oracles.py). ----
+    def node_snap_sig(spark, sf):
+        # ops 12/13 math: quantize coords to a grid, group, keep the
+        # MIN content-addressed id as the canonical node (exactly the
+        # operators/nodes.py dedup contract, on md5-derived int coords).
+        _tune(spark)
+        from topo2osm_spark.operators.dedup import md5h
+        d = _t(spark, sf, "documents").select("doc_id")
+        pts = d.select(
+            F.col("doc_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"))
+        pid = F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                       F.col("i").cast("string"))
+        pts = pts.select(
+            md5h(pid).alias("pt_id"),
+            F.pmod(md5h(pid, 1), F.lit(200)).alias("qlat"),
+            F.pmod(md5h(pid, 2), F.lit(200)).alias("qlon"))
+        return (pts.groupBy("qlat", "qlon")
+                   .agg(F.min("pt_id").alias("node_id"),
+                        F.count(F.lit(1)).alias("n_refs"))
+                   .orderBy("qlat", "qlon"))
+    q["node_snap_sig"] = node_snap_sig
+
+    def ring_shoelace_sig(spark, sf):
+        # ops 21/22 math: shoelace signed area + CCW orientation over a
+        # 6-vertex integer ring per document (the assembly.py
+        # orientation-normalize kernel, integer-exact: 2A stays BIGINT).
+        _tune(spark)
+        from topo2osm_spark.operators.dedup import md5h
+        d = _t(spark, sf, "documents").select("doc_id")
+        e = d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(5))).alias("k"))
+
+        def coord(axis, idx):
+            s = F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                         idx.cast("string"), F.lit(":" + axis))
+            return F.pmod(md5h(s), F.lit(1000))
+
+        nxt = F.pmod(F.col("k") + 1, F.lit(6))
+        term = (coord("x", F.col("k")) * coord("y", nxt)
+                - coord("x", nxt) * coord("y", F.col("k")))
+        return (e.select("doc_id", term.alias("term"))
+                 .groupBy("doc_id")
+                 .agg(F.sum("term").alias("area2"))
+                 .select("doc_id", "area2", (F.col("area2") > 0).alias("ccw"))
+                 .orderBy("doc_id"))
+    q["ring_shoelace_sig"] = ring_shoelace_sig
+
+    def pip_raycast_sig(spark, sf):
+        # op 14 math: even-odd ray cast of md5-derived integer points
+        # against the fixed concave comb polygon _PIP_POLY — the
+        # operators/pip.py refine kernel's crossing rule, cross-
+        # multiplied so every comparison stays in BIGINT (no division,
+        # no float: bit-identical in any engine).
+        _tune(spark)
+        from topo2osm_spark.operators.dedup import md5h
+        d = _t(spark, sf, "documents").select("doc_id")
+        pts = d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("pt_idx"))
+        s = F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                     F.col("pt_idx").cast("string"))
+        px = F.pmod(md5h(s, 11), F.lit(121)) - F.lit(10)
+        py = F.pmod(md5h(s, 12), F.lit(121)) - F.lit(10)
+        pts = pts.select("doc_id", "pt_idx", px.alias("px"), py.alias("py"))
+        n_cross = F.lit(0)
+        for (x1, y1), (x2, y2) in zip(_PIP_POLY,
+                                      _PIP_POLY[1:] + _PIP_POLY[:1]):
+            straddles = ((F.lit(y1) > F.col("py"))
+                         != (F.lit(y2) > F.col("py")))
+            # px < x1 + (x2-x1)(py-y1)/(y2-y1), cross-multiplied by
+            # (y2-y1) with the sign flip folded into the literal
+            cross = ((F.col("px") - F.lit(x1)) * F.lit(y2 - y1)
+                     - F.lit(x2 - x1) * (F.col("py") - F.lit(y1)))
+            hit = straddles & ((cross * F.lit(1 if y2 > y1 else -1))
+                               < F.lit(0))
+            n_cross = n_cross + F.when(hit, 1).otherwise(0)
+        return (pts.select("doc_id", "pt_idx", "px", "py",
+                           n_cross.alias("n_cross"),
+                           (F.pmod(n_cross, F.lit(2)) == 1).alias("inside"))
+                   .orderBy("doc_id", "pt_idx"))
+    q["pip_raycast_sig"] = pip_raycast_sig
+
     # ---- registration order: the driver evaluates the FIRST 50 ----
     # CORRECTNESS_r02 recorded exactly the first 50 registered queries
     # and silently dropped positions 51-54 (the geometry-contract
@@ -687,13 +763,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tagged_ways", "tagged_points", "multipolygon_relations",
         "pip_membership", "island_hierarchy", "tile_join",
         "span_echo", "span_sort_sig", "integrity_issues",
+        # geometry-kernel md5-oracle analogs (hash-checked math)
+        "node_snap_sig", "ring_shoelace_sig", "pip_raycast_sig",
         # relational / scalar oracle suite
         "scan_filter_project", "string_funcs", "math_funcs",
         "array_funcs", "json_funcs", "agg_tpch_q1", "count_by_type",
         "grouping_counts", "collect_sorted_list", "broadcast_join_dims",
-        "equi_join_agg", "semi_join", "anti_join", "window_rownum",
-        "window_running_sum", "window_lag_gap", "asof_join_events",
-        "range_join_events", "topk_orders", "union_distinct",
+        "equi_join_agg", "semi_join", "anti_join", "window_funcs",
+        "asof_join_events",
+        "range_join_events", "topk_orders",
         "setop_orders", "date_trunc_agg", "salted_agg", "sessionize",
         # text analysis
         "token_stats", "quality_scores", "lang_id", "doc_fingerprint",
@@ -800,25 +878,15 @@ def oracle_sql() -> dict[str, str]:
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         ORDER BY c_custkey"""
 
-    sql["window_rownum"] = """
-        SELECT user_id, event_id, rn FROM (
-            SELECT user_id, event_id,
-                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-            FROM events WHERE user_id < 50)
-        WHERE rn <= 3 ORDER BY user_id, rn"""
-
-    sql["window_running_sum"] = """
+    sql["window_funcs"] = """
         SELECT user_id, event_id,
+               row_number() OVER w AS rn,
                floor(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS running
-        FROM events WHERE user_id < 20 ORDER BY user_id, event_id"""
-
-    sql["window_lag_gap"] = """
-        SELECT user_id, event_id, prev_id FROM (
-            SELECT user_id, event_id,
-                   lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id
-            FROM events WHERE user_id < 20)
-        WHERE prev_id IS NOT NULL ORDER BY user_id, event_id"""
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS running,
+               coalesce(lag(event_id) OVER w, -1) AS prev_id
+        FROM events WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, rn"""
 
     sql["asof_join_events"] = """
         WITH ev AS (SELECT * FROM events WHERE user_id < 40),
@@ -848,13 +916,6 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderkey, round(o_totalprice, 2) AS price
         FROM orders ORDER BY price DESC, o_orderkey LIMIT 10"""
 
-    sql["union_distinct"] = """
-        SELECT DISTINCT l_orderkey FROM (
-            SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49
-            UNION ALL
-            SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.09)
-        ORDER BY l_orderkey"""
-
     sql["setop_orders"] = """
         SELECT 'except' AS op, o_orderkey FROM (
             SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 100000
@@ -865,6 +926,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
             INTERSECT
             SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')
+        UNION ALL
+        SELECT 'union' AS op, o_orderkey FROM (
+            SELECT DISTINCT o_orderkey FROM (
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+                UNION ALL
+                SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'))
         ORDER BY op, o_orderkey"""
 
     sql["date_trunc_agg"] = """
@@ -1046,6 +1113,58 @@ def oracle_sql() -> dict[str, str]:
           WHERE i < len(tk))
         SELECT doc_id, md5(string_agg(tok, chr(30) ORDER BY off, tok)) AS sig
         FROM u GROUP BY doc_id ORDER BY doc_id"""
+
+    # geometry-kernel md5-oracle analogs: same md5h 60-bit idiom as the
+    # dedup oracles; all arithmetic integer-exact (BIGINT on both sides)
+    sql["node_snap_sig"] = """
+        WITH pts AS (
+          SELECT ('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR),
+                  1, 15))::BIGINT AS pt_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR
+                  || ':1'), 1, 15))::BIGINT % 200 AS qlat,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR
+                  || ':2'), 1, 15))::BIGINT % 200 AS qlon
+          FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) ix)
+        SELECT qlat, qlon, min(pt_id) AS node_id,
+               count(*) AS n_refs
+        FROM pts GROUP BY qlat, qlon ORDER BY qlat, qlon"""
+
+    sql["ring_shoelace_sig"] = """
+        WITH e AS (
+          SELECT doc_id, k,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':' || k::VARCHAR
+                  || ':x'), 1, 15))::BIGINT % 1000 AS xk,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':' || k::VARCHAR
+                  || ':y'), 1, 15))::BIGINT % 1000 AS yk,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':'
+                  || ((k + 1) % 6)::VARCHAR || ':x'), 1, 15))::BIGINT
+                  % 1000 AS xn,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':'
+                  || ((k + 1) % 6)::VARCHAR || ':y'), 1, 15))::BIGINT
+                  % 1000 AS yn
+          FROM documents CROSS JOIN (SELECT unnest(range(0, 6)) AS k) kk)
+        SELECT doc_id, sum(xk * yn - xn * yk)::BIGINT AS area2,
+               sum(xk * yn - xn * yk) > 0 AS ccw
+        FROM e GROUP BY doc_id ORDER BY doc_id"""
+
+    _edges = list(zip(_PIP_POLY, _PIP_POLY[1:] + _PIP_POLY[:1]))
+    _hits = "\n               + ".join(
+        f"(CASE WHEN ({y1} > py) != ({y2} > py) AND "
+        f"((px - {x1}) * ({y2 - y1}) - ({x2 - x1}) * (py - {y1}))"
+        f" * {1 if y2 > y1 else -1} < 0 THEN 1 ELSE 0 END)"
+        for (x1, y1), (x2, y2) in _edges)
+    sql["pip_raycast_sig"] = f"""
+        WITH pts AS (
+          SELECT doc_id, i AS pt_idx,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR
+                  || ':11'), 1, 15))::BIGINT % 121 - 10 AS px,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR
+                  || ':12'), 1, 15))::BIGINT % 121 - 10 AS py
+          FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) ix)
+        SELECT doc_id, pt_idx, px, py,
+               ({_hits}) AS n_cross,
+               ({_hits}) % 2 = 1 AS inside
+        FROM pts ORDER BY doc_id, pt_idx"""
 
     sql["dedup_embedding_cosine"] = """
         SELECT a.vec_id AS a, b.vec_id AS b
