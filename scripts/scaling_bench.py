@@ -56,6 +56,24 @@ def build_zip() -> str:
     return zpath
 
 
+def prewarm(input_path: str) -> None:
+    """Read the input parquet through the OS page cache before EVERY
+    rep: r3's campaign showed a 1.56x docs/sec spread between two
+    local[4] reps of the identical job, attributable to cold vs warm
+    input cache + co-tenant load. Warming both legs uniformly removes
+    the cache asymmetry from the N vs 4N comparison (a real cluster's
+    scan bandwidth also does not depend on the executor count)."""
+    paths = ([os.path.join(input_path, f) for f in os.listdir(input_path)]
+             if os.path.isdir(input_path) else [input_path])
+    buf = bytearray(1 << 20)
+    for p in paths:
+        if os.path.basename(p).startswith(("_", ".")):
+            continue
+        with open(p, "rb", buffering=0) as f:
+            while f.readinto(buf):
+                pass
+
+
 def submit(zpath: str, master: str, input_path: str, shuffle: int = 16,
            mem: str = "12g") -> dict:
     # scratch location: tmpfs (/dev/shm) is fastest but its pages count
@@ -82,6 +100,7 @@ def submit(zpath: str, master: str, input_path: str, shuffle: int = 16,
         "--master", master, "--shuffle-partitions", str(shuffle),
     ]
     try:
+        prewarm(input_path)
         for attempt in (0, 1):
             # 1M-doc local[1] reps run ~60-70 min — 3600 killed a whole
             # bench mid-rep; the per-rep ceiling must clear the slowest
@@ -160,8 +179,19 @@ def main() -> int:
     runs_jsonl = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
     os.makedirs(os.path.dirname(runs_jsonl), exist_ok=True)
 
+    try:
+        code_tag = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=REPO, timeout=30).stdout.strip() or "unknown"
+    except Exception:
+        code_tag = "unknown"
+
     def record(rec: dict) -> None:
-        # append-immediately: a killed bench keeps every finished run
+        # append-immediately: a killed bench keeps every finished run;
+        # the code tag separates campaigns across engine versions (the
+        # jsonl is append-only across rounds, but medians must only mix
+        # runs of the SAME engine code)
+        rec.setdefault("code", code_tag)
         with open(runs_jsonl, "a") as f:
             f.write(json.dumps(rec) + "\n")
 

@@ -29,12 +29,17 @@ RUNS = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
 N_MASTER, N4_MASTER = "local[1]", "local[4]"
 
 
-def load_runs() -> dict[int, dict[str, list[float]]]:
+def load_runs(tag: str | None = None) -> dict[int, dict[str, list[float]]]:
+    """tag filters to runs recorded by that engine git SHA — medians
+    must not mix engine versions (runs before r4 carry no tag and are
+    excluded by any --tag filter)."""
     by: dict[int, dict[str, list[float]]] = defaultdict(lambda: defaultdict(list))
     with open(RUNS) as f:
         for line in f:
             rec = json.loads(line)
             if "docs_per_sec" in rec and "master" in rec:
+                if tag is not None and rec.get("code") != tag:
+                    continue
                 by[rec["n_docs"]][rec["master"]].append(rec["docs_per_sec"])
     return by
 
@@ -110,8 +115,11 @@ def main() -> int:
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--write-md", action="store_true",
                     help="also regenerate BENCH/SCALING_RESULT_<n>.md")
+    ap.add_argument("--tag", default=None,
+                    help="only include runs recorded at this engine git "
+                         "SHA (scaling_bench tags each record)")
     args = ap.parse_args()
-    by = load_runs()
+    by = load_runs(args.tag)
     sizes = sorted(by) if args.all else [args.n_docs]
     for s in sizes:
         summary = summarize(s, by[s])

@@ -137,6 +137,26 @@ def test_membership_self_containment(out, pipeline_out):
     assert len(self_pairs & closed_flates) >= 0.9 * len(closed_flates)
 
 
+def test_membership_is_hole_aware(out, pipeline_out):
+    """A point sitting in a HOLE of a FLATE is NOT contained in it
+    (VERDICT r3 'what's wrong' #1): the seeded island FLATEs' interior
+    points lie inside their lake's outer ring AND inside the hole ring
+    punched for the island, so hole-subtracted membership must exclude
+    the (island point, lake) pair that outer-only containment reports
+    (the islands surface below still reports it, by design)."""
+    islands = pipeline_out["islands"].collect()
+    seeded = [i for i in islands if i["doc_id"] == i["ring_doc_id"]]
+    assert seeded, "fixture corpus must seed same-doc islands"
+    member_pairs = {(m["doc_id"], m["flate_id"],
+                     m["ring_doc_id"], m["ring_flate_id"])
+                    for m in out["membership"]}
+    for i in seeded:
+        blind_pair = (i["doc_id"], i["flate_id"],
+                      i["ring_doc_id"], i["water_flate_id"])
+        assert blind_pair not in member_pairs, (
+            "hole-blind containment leaked into membership", blind_pair)
+
+
 def test_island_hierarchy(out, pipeline_out):
     """Island FLATEs (land ring reusing a lake hole's curves) resolve
     to their containing water body (SURVEY.md §2.12)."""
