@@ -20,10 +20,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
     "agg_tpch_q1", "equi_join_agg", "broadcast_join_dims",
-    "window_rownum", "collect_sorted_list", "dedup_exact",
+    "window_funcs", "collect_sorted_list", "dedup_exact",
     "dedup_minhash_lsh", "dedup_token_jaccard", "ann_topk_bruteforce",
     "token_stats",
 ]
+
+# Per-query statistic: MEDIAN of QUERY_REPS back-to-back executions.
+# r3's bench recorded 24-56% regressions on queries whose code had not
+# changed — single-shot timings on this shared VM carry the host's
+# documented 1.3-2x noise band plus first-run plan-compilation cost.
+# The e2e pipeline stays single-shot (it dominates the wall budget and
+# amortizes its own noise over ~30 s).
+QUERY_REPS = 3
 
 
 def main() -> int:
@@ -74,11 +82,16 @@ def main() -> int:
         return minhash_lsh_dedup(d, threshold=0.5)
 
     qmap = {**entry_mod.queries(), "dedup_minhash_lsh": _prod_minhash}
+    query_reps: dict[str, list[float]] = {}
     for qn in BENCH_QUERIES:
-        t1 = time.monotonic()
-        df = qmap[qn](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        queries[qn] = round(time.monotonic() - t1, 2)
+        reps = []
+        for _ in range(QUERY_REPS):
+            t1 = time.monotonic()
+            df = qmap[qn](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            reps.append(time.monotonic() - t1)
+        queries[qn] = round(sorted(reps)[len(reps) // 2], 2)
+        query_reps[qn] = [round(r, 2) for r in reps]
 
     docs_per_sec = round(n_docs / e2e, 2)
     print(json.dumps({
@@ -86,6 +99,8 @@ def main() -> int:
         "value": round(e2e, 2),
         "unit": "sec",
         "queries": queries,
+        "query_reps": query_reps,
+        "query_stat": f"median_of_{QUERY_REPS}",
         "sf": sf,
         "n_docs": n_docs,
         "docs_per_sec": docs_per_sec,
