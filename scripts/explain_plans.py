@@ -37,7 +37,7 @@ def main() -> int:
 
     q = e.queries()
     for name in ("scan_filter_project", "agg_tpch_q1", "broadcast_join_dims",
-                 "window_rownum", "dedup_minhash_md5", "ann_topk_bruteforce",
+                 "window_funcs", "dedup_minhash_md5", "ann_topk_bruteforce",
                  "ann_topk_ivf", "asof_join_events", "range_join_events"):
         sections.append((name, grab(q[name](spark, sf))))
 
