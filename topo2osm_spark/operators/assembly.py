@@ -156,6 +156,55 @@ def assemble_rings(flates: DataFrame, curves: DataFrame) -> DataFrame:
     return grouped.mapInPandas(_assemble_batches, ASSEMBLED_RINGS)
 
 
+def assemble_rings_docwide(flates: DataFrame, curves: DataFrame) -> DataFrame:
+    """Document-wide ring assembly for FLATEs whose ..REF list crosses
+    span boundaries (the fused span-local kernel defers these via
+    n_orphan_refs > 0 — sources/sosi.py).
+
+    The upstream converter resolves refs FILE-wide; a document is one
+    file, so refs here join on (doc_id, curve_id) across all spans.
+    Fixture-style corpora restart curve ids per span, which makes the
+    doc-wide join ambiguous when ids collide — resolution prefers (1) a
+    curve in the flate's OWN span, then (2) the lowest span_idx, so a
+    self-contained flate that merely carries a truly-missing ref
+    assembles exactly as the span-local kernel would have.
+
+    The flate side is the deferred-orphan set (rare -> broadcast), so
+    the corpus-sized curve table never shuffles for this fallback;
+    truly-missing refs drop out of the inner join and surface in
+    integrity_report as before."""
+    from pyspark.sql import Window
+    refs = (flates
+            .select("doc_id", "span_idx",
+                    F.col("obj_id").alias("flate_id"),
+                    F.col("objtype").alias("flate_objtype"),
+                    F.posexplode(F.arrays_zip("refs", "hole_group"))
+                     .alias("ref_pos", "rh"))
+            .select("doc_id", "span_idx", "flate_id", "flate_objtype",
+                    "ref_pos",
+                    F.col("rh.refs").alias("ref"),
+                    F.col("rh.hole_group").alias("hole_group"),
+                    F.abs(F.col("rh.refs")).alias("curve_id")))
+    c = curves.select("doc_id",
+                      F.col("span_idx").alias("c_span_idx"),
+                      F.col("obj_id").alias("curve_id"),
+                      F.col("lats").alias("c_lats"),
+                      F.col("lons").alias("c_lons"))
+    joined = c.join(F.broadcast(refs), ["doc_id", "curve_id"], "inner")
+    w = (Window.partitionBy("doc_id", "span_idx", "flate_id", "ref_pos")
+         .orderBy((F.col("c_span_idx") == F.col("span_idx")).desc(),
+                  F.col("c_span_idx")))
+    resolved = (joined.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1).drop("__rn", "c_span_idx",
+                                                "curve_id"))
+    grouped = (resolved.groupBy("doc_id", "span_idx", "flate_id")
+               .agg(F.first("flate_objtype").alias("flate_objtype"),
+                    F.collect_list(F.struct(
+                        "ref_pos", "ref", "hole_group",
+                        "c_lats", "c_lons")).alias("parts")))
+    return grouped.mapInPandas(_assemble_batches, ASSEMBLED_RINGS)
+
+
 # objtypes whose closed standalone ways carry a direction contract:
 # N50 Kystkontur runs with WATER ON THE RIGHT, i.e. a closed island
 # ring (land inside) travels counter-clockwise (SURVEY.md §2.12).
@@ -203,15 +252,26 @@ def orient_closed_curve_ways(
 def integrity_report(flates: DataFrame, curves: DataFrame) -> DataFrame:
     """op 18: orphan FLATE refs (left_anti) and unused curves
     (left_anti the other way) — the reference's warning printouts,
-    re-expressed as a metrics DataFrame."""
+    re-expressed as a metrics DataFrame.
+
+    Refs missing in their own span but present elsewhere in the SAME
+    document are reported as 'cross_span_ref' (informational — the
+    doc-wide assembly fallback resolves them), distinct from
+    'orphan_ref' (missing document-wide, ring genuinely incomplete)."""
     refs = (flates.select("doc_id", "span_idx",
                           F.explode("refs").alias("sref"))
                   .withColumn("curve_id", F.abs("sref")))
     c = curves.select("doc_id", "span_idx", F.col("obj_id").alias("curve_id"))
-    orphans = (refs.join(c, ["doc_id", "span_idx", "curve_id"], "left_anti")
-                   .select(F.lit("orphan_ref").alias("issue"),
-                           "doc_id", "span_idx", F.col("curve_id").alias("obj_id")))
+    span_missing = refs.join(c, ["doc_id", "span_idx", "curve_id"],
+                             "left_anti")
+    c_doc = curves.select("doc_id", F.col("obj_id").alias("curve_id"))
+    orphans = (span_missing.join(c_doc, ["doc_id", "curve_id"], "left_anti")
+               .select(F.lit("orphan_ref").alias("issue"),
+                       "doc_id", "span_idx", F.col("curve_id").alias("obj_id")))
+    xspan = (span_missing.join(c_doc, ["doc_id", "curve_id"], "left_semi")
+             .select(F.lit("cross_span_ref").alias("issue"),
+                     "doc_id", "span_idx", F.col("curve_id").alias("obj_id")))
     unused = (c.join(refs, ["doc_id", "span_idx", "curve_id"], "left_anti")
                .select(F.lit("unused_curve").alias("issue"),
                        "doc_id", "span_idx", F.col("curve_id").alias("obj_id")))
-    return orphans.unionByName(unused)
+    return orphans.unionByName(xspan).unionByName(unused)

@@ -29,8 +29,11 @@ resumes without recompute (op 43).
 
 from __future__ import annotations
 
+import os
 import queue
+import sys
 import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -72,7 +75,10 @@ class _Prefetcher:
                 return
             name, df = item
             try:
+                t = time.monotonic()
                 df.count()
+                _timing_log(f"prefetch:{name} materialized in "
+                            f"{time.monotonic() - t:.2f}s")
             except Exception as e:
                 # materialization errors surface on the caller's own
                 # action with the full traceback; the warning here is
@@ -87,6 +93,19 @@ class _Prefetcher:
 
     def close(self) -> None:
         self._q.put(None)
+
+
+def _timing_log(msg: str) -> None:
+    """Per-stage attribution for scaling-efficiency work (opt-in via
+    SPARK_GRAFT_TIMING=1): prints wall timestamps to stderr so a
+    convert run can be decomposed into plan-build vs prefetch-
+    materialization vs write walls without a profiler attach."""
+    if os.environ.get("SPARK_GRAFT_TIMING"):
+        sys.stderr.write(f"[timing +{time.monotonic() - _T0:.2f}s] {msg}\n")
+        sys.stderr.flush()
+
+
+_T0 = time.monotonic()
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:
@@ -177,6 +196,7 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     ck_seq = [f"input:{input_fp}"] if input_fp is not None else []
 
     def ck(df: DataFrame, name: str, *fp_parts) -> DataFrame:
+        _timing_log(f"plan:ck({name}) enter")
         if warehouse is not None:
             fp = fingerprint(name, *fp_parts, *ck_seq)
             df, _ = warehouse.stage(df, name, fp, resume=resume)
@@ -229,15 +249,26 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
                  "geo_objects", snap_tol_m)
     geo = geo_all.where(F.col("row_kind") == "obj") \
                  .drop("row_kind", "flate_id", "ring_idx", "is_hole",
-                       "closed", "area", "n_curves")
+                       "closed", "area", "n_curves", "n_orphan_refs")
 
     curves = geo.where(F.col("obj_kind") == "KURVE")
     flates = geo.where(F.col("obj_kind") == "FLATE")
 
-    # S4 output: ring rows of the fused pass (ASSEMBLED_RINGS shape)
-    rings = geo_all.where(F.col("row_kind") == "ring").select(
+    # S4 output: ring rows of the fused pass (ASSEMBLED_RINGS shape),
+    # plus the document-wide fallback for flates the fused kernel
+    # deferred (any ..REF without a curve in its own span — cross-span
+    # documents; VERDICT r4 #2). The fallback is checkpointed so its
+    # curve-table scan runs once, not on every rings consumer; its
+    # output is empty on self-contained corpora.
+    rings_local = geo_all.where(F.col("row_kind") == "ring").select(
         "doc_id", "span_idx", "flate_id", "objtype", "ring_idx",
         "is_hole", "lats", "lons", "closed", "area", "n_curves")
+    orphan_flates = geo_all.where(
+        (F.col("row_kind") == "obj") & (F.col("obj_kind") == "FLATE")
+        & (F.col("n_orphan_refs") > 0))
+    rings_xspan = ck(assembly.assemble_rings_docwide(orphan_flates, curves),
+                     "rings_xspan")
+    rings = rings_local.unionByName(rings_xspan)
     rings = rings.withColumn(
         "way_id", content_id("doc_id", "span_idx", F.lit("F"), "flate_id", "ring_idx"))
 
@@ -292,9 +323,18 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     # before the driver can build a single downstream plan — a fixed
     # serial cost that caps N->4N scaling efficiency. Polar callers
     # (Svalbard) pass snap_max_abs_lat explicitly.
-    snap_map = ck(nodeops.snap_mapping(nodes_raw, tol_m=snap_tol_m,
-                                       max_abs_lat=snap_max_abs_lat),
-                  "snap_map", snap_tol_m, snap_max_abs_lat)
+    # the mapping is checkpointed ENRICHED with the canonical node's
+    # published coordinate (c_lat/c_lon): the one nodes_raw scan that
+    # costs runs while this stage materializes anyway, and the points
+    # path below reads the tiny cached map instead of re-scanning the
+    # output node table per write (VERDICT r4 #3 — points stage 3x).
+    # "v2" in the fingerprint: the enriched schema must never resume
+    # from a pre-enrichment checkpoint.
+    snap_map = ck(nodeops.with_canon_coords(
+                      nodeops.snap_mapping(nodes_raw, tol_m=snap_tol_m,
+                                           max_abs_lat=snap_max_abs_lat),
+                      nodes_raw, broadcast_hint=snap_broadcast),
+                  "snap_map", "v2", snap_tol_m, snap_max_abs_lat)
     nodes_out = ck(nodeops.snap_nodes_table(nodes_raw, snap_map,
                                             broadcast_hint=snap_broadcast),
                    "nodes")
@@ -395,14 +435,8 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
                           F.element_at("lons", 1).alias("lon"))
                   .where(F.col("lat").isNotNull()))
     tagged_pts = tags.with_streng_ele(tags.join_tags(point_objs, spark))
-    snap_map_small = F.broadcast(snap_map) if snap_broadcast else snap_map
-    snap_map_c = (snap_map_small.join(
-        nodes_out.select(F.col("node_id").alias("canon_id"),
-                         F.col("lat").alias("c_lat"),
-                         F.col("lon").alias("c_lon")),
-        "canon_id")
-        .select(F.col("node_id").alias("__snap_src"), "canon_id",
-                "c_lat", "c_lon"))
+    snap_map_c = snap_map.select(F.col("node_id").alias("__snap_src"),
+                                 "canon_id", "c_lat", "c_lon")
     if snap_broadcast:
         snap_map_c = F.broadcast(snap_map_c)
     q_pts = nodeops.quantize(tagged_pts)
@@ -537,4 +571,5 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
 
     if pf is not None:
         pf.close()
+    _timing_log("plan: run_pipeline returning")
     return out
