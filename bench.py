@@ -29,9 +29,13 @@ BENCH_QUERIES = [
 # r3's bench recorded 24-56% regressions on queries whose code had not
 # changed — single-shot timings on this shared VM carry the host's
 # documented 1.3-2x noise band plus first-run plan-compilation cost.
-# The e2e pipeline stays single-shot (it dominates the wall budget and
-# amortizes its own noise over ~30 s).
 QUERY_REPS = 3
+# The e2e leg now also reps (VERDICT r4 #1): the r4 single-shot leg
+# recorded 84 s where a warm-controlled rerun measured 26 s — pure
+# first-in-session JVM/Python-runner warm-up. Median-of-E2E_REPS with
+# per-stage walls makes the headline attributable; `value` is the
+# median, `e2e_reps`/`e2e_stage_secs` carry the evidence.
+E2E_REPS = 3
 
 
 def main() -> int:
@@ -56,20 +60,28 @@ def main() -> int:
 
     # --- headline: end-to-end conversion sized to the sf tier ---
     n_docs = max(200, spark.read.parquet(f"{sf_dir}/documents.parquet").count())
-    out_dir = tempfile.mkdtemp(prefix="bench_wh_")
-    t0 = time.monotonic()
-    docs = documents_df(spark, n_docs, seed=42, max_sosi=3,
-                        partitions=max(8, min(int(cpus), n_docs // 500)))
-    out = run_pipeline(spark, docs)
-    counts = {}
-    for name in ("nodes", "ways", "relations", "tile_assignments", "echo",
-                 "points"):
-        out[name].write.mode("overwrite").parquet(os.path.join(out_dir, name))
-        counts[name] = None
-    e2e = time.monotonic() - t0
+    e2e_reps: list[float] = []
+    e2e_stage_secs: list[dict] = []
+    for _ in range(E2E_REPS):
+        out_dir = tempfile.mkdtemp(prefix="bench_wh_")
+        stage_secs: dict[str, float] = {}
+        t0 = time.monotonic()
+        docs = documents_df(spark, n_docs, seed=42, max_sosi=3,
+                            partitions=max(8, min(int(cpus), n_docs // 500)))
+        out = run_pipeline(spark, docs)
+        stage_secs["plan_build"] = round(time.monotonic() - t0, 2)
+        for name in ("nodes", "ways", "relations", "tile_assignments",
+                     "echo", "points"):
+            ts = time.monotonic()
+            out[name].write.mode("overwrite").parquet(
+                os.path.join(out_dir, name))
+            stage_secs[name] = round(time.monotonic() - ts, 2)
+        e2e_reps.append(time.monotonic() - t0)
+        e2e_stage_secs.append(stage_secs)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        spark.catalog.clearCache()
+    e2e = sorted(e2e_reps)[len(e2e_reps) // 2]
     queries["pipeline_e2e"] = round(e2e, 2)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    spark.catalog.clearCache()
 
     # --- representative operator queries on the driver tables ---
     # dedup_minhash_lsh left the 50-entry driver registry in r3 (its
@@ -101,6 +113,9 @@ def main() -> int:
         "queries": queries,
         "query_reps": query_reps,
         "query_stat": f"median_of_{QUERY_REPS}",
+        "e2e_reps": [round(r, 2) for r in e2e_reps],
+        "e2e_stat": f"median_of_{E2E_REPS}",
+        "e2e_stage_secs": e2e_stage_secs,
         "sf": sf,
         "n_docs": n_docs,
         "docs_per_sec": docs_per_sec,

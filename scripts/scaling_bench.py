@@ -67,11 +67,16 @@ def prewarm(input_path: str) -> None:
              if os.path.isdir(input_path) else [input_path])
     buf = bytearray(1 << 20)
     for p in paths:
-        if os.path.basename(p).startswith(("_", ".")):
+        # best-effort: skip metadata entries and nested directories
+        # (hive-partitioned layouts) instead of killing the campaign
+        if os.path.basename(p).startswith(("_", ".")) or not os.path.isfile(p):
             continue
-        with open(p, "rb", buffering=0) as f:
-            while f.readinto(buf):
-                pass
+        try:
+            with open(p, "rb", buffering=0) as f:
+                while f.readinto(buf):
+                    pass
+        except OSError:
+            continue
 
 
 def submit(zpath: str, master: str, input_path: str, shuffle: int = 16,
@@ -100,8 +105,12 @@ def submit(zpath: str, master: str, input_path: str, shuffle: int = 16,
         "--master", master, "--shuffle-partitions", str(shuffle),
     ]
     try:
-        prewarm(input_path)
         for attempt in (0, 1):
+            # prewarm inside the retry loop (ADVICE r4): a retried rep
+            # after a failed 60-70 min run would otherwise execute with
+            # a cold/evicted page cache — the exact 1.56x asymmetry the
+            # prewarm protocol exists to remove.
+            prewarm(input_path)
             # 1M-doc local[1] reps run ~60-70 min — 3600 killed a whole
             # bench mid-rep; the per-rep ceiling must clear the slowest
             # configured (corpus, parallelism) pair with margin

@@ -34,13 +34,23 @@ def load_runs(tag: str | None = None) -> dict[int, dict[str, list[float]]]:
     must not mix engine versions (runs before r4 carry no tag and are
     excluded by any --tag filter)."""
     by: dict[int, dict[str, list[float]]] = defaultdict(lambda: defaultdict(list))
+    codes: set[str] = set()
     with open(RUNS) as f:
         for line in f:
             rec = json.loads(line)
             if "docs_per_sec" in rec and "master" in rec:
                 if tag is not None and rec.get("code") != tag:
                     continue
+                codes.add(str(rec.get("code")))
                 by[rec["n_docs"]][rec["master"]].append(rec["docs_per_sec"])
+    if tag is None and len(codes) > 1:
+        # ADVICE r4: without --tag the medians silently mix engine
+        # versions, contradicting the same-code invariant — say so.
+        import sys
+        sys.stderr.write(
+            "WARNING: mixing runs from engine versions "
+            f"{sorted(codes)} in one median; pass --tag <sha> for a "
+            "same-code statistic\n")
     return by
 
 
