@@ -492,29 +492,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- multimodal plumbing (rows-only; REAL numpy PPM decode over
     # deterministic ref-derived payloads) ----
     def media_decode(spark, sf):
+        # MERGED surface (r5, the r4 merge pattern): decode-metadata
+        # rows (surface='decode') and frame-sample rows
+        # (surface='frame') union into one registry slot — both
+        # rows-only signals kept, one slot freed for the new hash
+        # oracles (VERDICT r4 tasks #5/#10).
         _tune(spark)
         from topo2osm_spark.operators.media import (decode_media,
+                                                    frame_sample,
                                                     with_synth_payload)
         geo = _geo_outputs(spark, sf)
         media = (geo["spans"].where(F.col("kind") == "media")
                  .select("doc_id", "media_ref"))
         d = decode_media(with_synth_payload(media))
-        return d.select("doc_id", "media_ref",
-                        F.col("meta.width").alias("width"),
-                        F.col("meta.codec").alias("codec"),
-                        F.size("features").alias("n_features"))
+        dec = d.select(
+            F.lit("decode").alias("surface"), "doc_id", "media_ref",
+            F.col("meta.width").cast("long").alias("k"),
+            F.concat_ws(":", F.col("meta.codec"),
+                        F.size("features").cast("string")).alias("detail"))
+        fr = (frame_sample(decode_media(media), every_n=64)
+              .select(F.lit("frame").alias("surface"), "doc_id", "media_ref",
+                      F.col("frame_idx").cast("long").alias("k"),
+                      F.hex("frame_sig").alias("detail")))
+        return dec.unionByName(fr)
     q["media_decode"] = media_decode
-
-    def media_frame_sample(spark, sf):
-        _tune(spark)
-        from topo2osm_spark.operators.media import decode_media, frame_sample
-        geo = _geo_outputs(spark, sf)
-        media = (geo["spans"].where(F.col("kind") == "media")
-                 .select("doc_id", "media_ref"))
-        return (frame_sample(decode_media(media), every_n=64)
-                .select("doc_id", "media_ref", "frame_idx",
-                        F.hex("frame_sig").alias("sig_hex")))
-    q["media_frame_sample"] = media_frame_sample
 
     def stream_dedup_state(spark, sf):
         # custom STATEFUL streaming op (applyInPandasWithState):
@@ -563,33 +564,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    F.round("area", 10).alias("area"))
     q["ring_assembly"] = ring_assembly
 
-    def tagged_ways(spark, sf):
-        # tags map serialized to a key-sorted "k=v;k=v" scalar — the
-        # driver canonicalizer sorts/hashes values, so every output
-        # column must be hashable (maps/arrays are not).
+    def tagged_features(spark, sf):
+        # MERGED surface (r5): the op-15 tagged-way output and the op-9
+        # tagged-point output (PUNKT Høydepunkt -> natural=peak, TEKST
+        # Høydetall -> ele=<STRENG>) union into one registry slot with
+        # aligned columns. Tags serialize to the key-sorted "k=v;k=v"
+        # scalar (driver canonicalizer hashes values — maps/arrays are
+        # not hashable). Frees one slot for the new hash oracles.
         out = _geo_outputs(spark, sf)
-        return out["ways"].select(
-            "doc_id", "way_id", "objtype",
-            F.array_join(
-                F.transform(F.array_sort(F.map_entries("tags")),
-                            lambda e: F.concat_ws("=", e["key"], e["value"])),
-                ";").alias("tags_kv"),
-            "n_nodes", "closed")
-    q["tagged_ways"] = tagged_ways
 
-    def tagged_points(spark, sf):
-        # op 9 output surface: PUNKT (Høydepunkt -> natural=peak) and
-        # TEKST lake-elevation labels (Høydetall -> ele=<STRENG>) as
-        # tagged point nodes; tags serialized to the k=v;k=v scalar.
-        out = _geo_outputs(spark, sf)
-        return out["points"].select(
-            "node_id", "doc_id", "span_idx", "obj_id", "objtype",
-            F.round("lat", 7).alias("lat"), F.round("lon", 7).alias("lon"),
-            F.array_join(
-                F.transform(F.array_sort(F.map_entries("tags")),
+        def kv(col="tags"):
+            return F.array_join(
+                F.transform(F.array_sort(F.map_entries(col)),
                             lambda e: F.concat_ws("=", e["key"], e["value"])),
-                ";").alias("tags_kv"))
-    q["tagged_points"] = tagged_points
+                ";").alias("tags_kv")
+
+        ways = out["ways"].select(
+            F.lit("way").alias("feature_kind"), "doc_id",
+            F.col("way_id").alias("feature_id"), "objtype", kv(),
+            F.col("n_nodes").cast("long").alias("k"),
+            F.col("closed").cast("string").alias("detail"))
+        pts = out["points"].select(
+            F.lit("point").alias("feature_kind"), "doc_id",
+            F.col("node_id").alias("feature_id"), "objtype", kv(),
+            F.col("obj_id").cast("long").alias("k"),
+            F.concat_ws(",", F.round("lat", 7).cast("string"),
+                        F.round("lon", 7).cast("string")).alias("detail"))
+        return ways.unionByName(pts)
+    q["tagged_features"] = tagged_features
 
     def multipolygon_relations(spark, sf):
         # members array<struct> serialized to canonical JSON (order is
@@ -750,6 +752,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .orderBy("doc_id", "pt_idx"))
     q["pip_raycast_sig"] = pip_raycast_sig
 
+    def integrity_sig(spark, sf):
+        # op 18 math (NEW r5): the orphan-ref / unused-curve detection
+        # is a pair of anti-joins (operators/assembly.integrity_report);
+        # this analog re-derives per-document curve-id and ref-id sets
+        # from md5 hashes and runs the SAME anti-join kernel, so the
+        # driver hash-checks the join semantics bit-for-bit vs DuckDB's
+        # NOT EXISTS. distinct() on both sides: md5-derived ids may
+        # collide within a document, and set semantics keep the two
+        # engines' duplicate handling identical.
+        _tune(spark)
+        from topo2osm_spark.operators.dedup import md5h
+        d = _t(spark, sf, "documents").select("doc_id")
+        curves = (d.select(
+            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("i"))
+            .select("doc_id", F.pmod(md5h(F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"),
+                F.col("i").cast("string"), F.lit(":c"))),
+                F.lit(40)).alias("curve_id"))
+            .distinct())
+        refs = (d.select(
+            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"))
+            .select("doc_id", F.pmod(md5h(F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"),
+                F.col("j").cast("string"), F.lit(":r"))),
+                F.lit(50)).alias("curve_id"))
+            .distinct())
+        orphans = (refs.join(curves, ["doc_id", "curve_id"], "left_anti")
+                   .select(F.lit("orphan_ref").alias("issue"),
+                           "doc_id", "curve_id"))
+        unused = (curves.join(refs, ["doc_id", "curve_id"], "left_anti")
+                  .select(F.lit("unused_curve").alias("issue"),
+                          "doc_id", "curve_id"))
+        return (orphans.unionByName(unused)
+                .orderBy("issue", "doc_id", "curve_id"))
+    q["integrity_sig"] = integrity_sig
+
+    def tile_parent_sig(spark, sf):
+        # ops 16/17 math (NEW r5): the cell codec's Morton interleave
+        # (the 5 magic-mask spreading rounds of functions/cells.py) and
+        # the ancestor shift of operators/tiles.py, re-run on
+        # md5-derived (ix, iy) — pure BIGINT bit ops, reproducible in
+        # DuckDB verbatim, pinned to the numpy codec by
+        # tests/test_geo_sig_oracles.py. (res, parent_res) pairs are
+        # literals so shift amounts stay literal in both engines.
+        _tune(spark)
+        from topo2osm_spark.operators.dedup import md5h
+        d = _t(spark, sf, "documents").select("doc_id")
+        pairs = [(0, 9, 7), (1, 10, 5), (2, 11, 8), (3, 12, 3)]
+        rows = d.select("doc_id", F.explode(F.array(*[
+            F.struct(F.lit(k).alias("k"), F.lit(r).alias("res"),
+                     F.lit(p).alias("pres")) for k, r, p in pairs])).alias("c"))
+        rows = rows.select("doc_id", "c.k", "c.res", "c.pres")
+        s = F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                     F.col("k").cast("string"))
+
+        def spread(v):
+            # part1by1 Morton spread, same magic masks as cells.py
+            for sh, mask in ((16, 0x0000FFFF0000FFFF),
+                             (8, 0x00FF00FF00FF00FF),
+                             (4, 0x0F0F0F0F0F0F0F0F),
+                             (2, 0x3333333333333333),
+                             (1, 0x5555555555555555)):
+                v = v.bitwiseOR(F.shiftleft(v, sh)).bitwiseAND(F.lit(mask))
+            return v
+
+        # ix/iy bounded by the per-k resolution (literal modulus)
+        mod = {9: 512, 10: 1024, 11: 2048, 12: 4096}
+        ix = F.pmod(md5h(s, 21), F.element_at(
+            F.create_map(*[F.lit(x) for kv in mod.items() for x in kv]),
+            F.col("res")))
+        iy = F.pmod(md5h(s, 22), F.element_at(
+            F.create_map(*[F.lit(x) for kv in mod.items() for x in kv]),
+            F.col("res")))
+        rows = rows.select("doc_id", "k", "res", "pres",
+                           ix.alias("ix"), iy.alias("iy"))
+        rows = rows.withColumn("morton", spread(F.col("ix")).bitwiseOR(
+            F.shiftleft(spread(F.col("iy")), 1)))
+        cell = F.shiftleft(F.col("res").cast("long"), 58).bitwiseOR(
+            F.col("morton"))
+        # numBits is per-row (res - pres) -> SQL form of the shift
+        parent = F.shiftleft(F.col("pres").cast("long"), 58).bitwiseOR(
+            F.expr("shiftrightunsigned(morton, 2 * (res - pres))"))
+        return (rows.select("doc_id", "k", "ix", "iy",
+                            cell.alias("cell"),
+                            parent.alias("parent_cell"))
+                .orderBy("doc_id", "k"))
+    q["tile_parent_sig"] = tile_parent_sig
+
     # ---- registration order: the driver evaluates the FIRST 50 ----
     # CORRECTNESS_r02 recorded exactly the first 50 registered queries
     # and silently dropped positions 51-54 (the geometry-contract
@@ -760,11 +850,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order = [
         # geometry / conversion contract (SURVEY.md §2 core ops)
         "sosi_parse_objects", "node_dedup", "ring_assembly",
-        "tagged_ways", "tagged_points", "multipolygon_relations",
+        "tagged_features", "multipolygon_relations",
         "pip_membership", "island_hierarchy", "tile_join",
         "span_echo", "span_sort_sig", "integrity_issues",
         # geometry-kernel md5-oracle analogs (hash-checked math)
         "node_snap_sig", "ring_shoelace_sig", "pip_raycast_sig",
+        "integrity_sig", "tile_parent_sig",
         # relational / scalar oracle suite
         "scan_filter_project", "string_funcs", "math_funcs",
         "array_funcs", "json_funcs", "agg_tpch_q1", "count_by_type",
@@ -778,7 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / similarity / multimodal / streaming
         "dedup_exact", "dedup_token_jaccard", "dedup_embedding_cosine",
         "dedup_minhash_md5", "dedup_simhash_md5", "ann_topk_bruteforce",
-        "ann_topk_ivf", "media_decode", "media_frame_sample",
+        "ann_topk_ivf", "media_decode",
         "stream_dedup_state",
     ]
     assert len(order) == 50 and set(order) == set(q), (
@@ -1165,6 +1256,63 @@ def oracle_sql() -> dict[str, str]:
                ({_hits}) AS n_cross,
                ({_hits}) % 2 = 1 AS inside
         FROM pts ORDER BY doc_id, pt_idx"""
+
+    sql["integrity_sig"] = """
+        WITH curves AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR
+                  || ':c'), 1, 15))::BIGINT % 40 AS curve_id
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(0, 6)) AS i) ix),
+        refs AS (
+          SELECT DISTINCT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR
+                  || ':r'), 1, 15))::BIGINT % 50 AS curve_id
+          FROM documents
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jx)
+        SELECT 'orphan_ref' AS issue, r.doc_id, r.curve_id
+        FROM refs r
+        WHERE NOT EXISTS (SELECT 1 FROM curves c
+                          WHERE c.doc_id = r.doc_id
+                            AND c.curve_id = r.curve_id)
+        UNION ALL
+        SELECT 'unused_curve' AS issue, c.doc_id, c.curve_id
+        FROM curves c
+        WHERE NOT EXISTS (SELECT 1 FROM refs r
+                          WHERE r.doc_id = c.doc_id
+                            AND r.curve_id = c.curve_id)
+        ORDER BY issue, doc_id, curve_id"""
+
+    # Morton spread (part1by1) as nested BIGINT bit ops — the same 5
+    # magic masks as functions/cells.py, expanded textually for DuckDB
+    def _duck_spread(v: str) -> str:
+        for sh, mask in ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                         (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                         (1, 0x5555555555555555)):
+            v = f"(({v} | ({v} << {sh})) & {mask})"
+        return v
+
+    sql["tile_parent_sig"] = f"""
+        WITH base AS (
+          SELECT doc_id, k, res, pres,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':' || k::VARCHAR
+                  || ':21'), 1, 15))::BIGINT % (1 << res) AS ix,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':' || k::VARCHAR
+                  || ':22'), 1, 15))::BIGINT % (1 << res) AS iy
+          FROM documents
+          CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k,
+                             unnest([9, 10, 11, 12]) AS res,
+                             unnest([7, 5, 8, 3]) AS pres) kk),
+        m AS (
+          SELECT doc_id, k, res, pres, ix, iy,
+                 ({_duck_spread('ix')}
+                  | ({_duck_spread('iy')} << 1)) AS morton
+          FROM base)
+        SELECT doc_id, k, ix, iy,
+               ((res::BIGINT << 58) | morton) AS cell,
+               ((pres::BIGINT << 58) | (morton >> (2 * (res - pres))))
+                 AS parent_cell
+        FROM m ORDER BY doc_id, k"""
 
     sql["dedup_embedding_cosine"] = """
         SELECT a.vec_id AS a, b.vec_id AS b

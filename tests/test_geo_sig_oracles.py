@@ -119,3 +119,64 @@ def test_node_snap_sig_matches_dedup_nodes(spark):
     members = [r.pt_id for r in pts.where(
         (F.col("qlat") == one.qlat) & (F.col("qlon") == one.qlon)).collect()]
     assert one.node_id == min(members)
+
+
+def test_tile_parent_sig_matches_cells_codec():
+    """tile_parent_sig's SQL Morton spread + ancestor shift == the
+    production numpy codec (cells.from_xy / cells.parent) on the same
+    md5-derived (ix, iy) at the sig's literal (res, parent_res) pairs."""
+    from topo2osm_spark.functions import cells
+
+    pairs = [(0, 9, 7), (1, 10, 5), (2, 11, 8), (3, 12, 3)]
+    for d in range(100):
+        for k, res, pres in pairs:
+            s = f"d{d}:{k}"
+            ix = _md5h(s, 21) % (1 << res)
+            iy = _md5h(s, 22) % (1 << res)
+            # the sig's spread (same magic masks, python ints)
+            def spread(v):
+                for sh, mask in ((16, 0x0000FFFF0000FFFF),
+                                 (8, 0x00FF00FF00FF00FF),
+                                 (4, 0x0F0F0F0F0F0F0F0F),
+                                 (2, 0x3333333333333333),
+                                 (1, 0x5555555555555555)):
+                    v = (v | (v << sh)) & mask
+                return v
+            morton = spread(ix) | (spread(iy) << 1)
+            sig_cell = (res << 58) | morton
+            sig_parent = (pres << 58) | (morton >> (2 * (res - pres)))
+            kern_cell = int(cells.from_xy(
+                np.array([ix], dtype=np.uint64),
+                np.array([iy], dtype=np.uint64), res)[0])
+            kern_parent = int(cells.parent(np.array([kern_cell]), pres)[0])
+            assert sig_cell == kern_cell, (d, k)
+            assert sig_parent == kern_parent, (d, k)
+
+
+def test_integrity_sig_matches_integrity_report(spark):
+    """integrity_sig's orphan/unused classification == the production
+    anti-join kernel (assembly.integrity_report) fed equivalent
+    per-document curve/ref id sets (the sig's md5 derivation)."""
+    from topo2osm_spark.operators.assembly import integrity_report
+
+    docs = [f"doc{d}" for d in range(40)]
+    curve_sets = {d: sorted({_md5h(f"{d}:{i}:c") % 40 for i in range(6)})
+                  for d in docs}
+    ref_sets = {d: sorted({_md5h(f"{d}:{j}:r") % 50 for j in range(8)})
+                for d in docs}
+    flates = spark.createDataFrame(
+        [(d, 0, 1, [int(r) for r in ref_sets[d]]) for d in docs],
+        "doc_id string, span_idx int, obj_id long, refs array<long>")
+    curves = spark.createDataFrame(
+        [(d, 0, int(c)) for d in docs for c in curve_sets[d]],
+        "doc_id string, span_idx int, obj_id long")
+    got = {(r.issue, r.doc_id, r.obj_id)
+           for r in integrity_report(flates, curves).collect()}
+    expect = set()
+    for d in docs:
+        cs, rs = set(curve_sets[d]), set(ref_sets[d])
+        expect |= {("orphan_ref", d, r) for r in rs - cs}
+        expect |= {("unused_curve", d, c) for c in cs - rs}
+    assert got == expect
+    assert any(i == "orphan_ref" for i, _, _ in expect)
+    assert any(i == "unused_curve" for i, _, _ in expect)
