@@ -259,3 +259,62 @@ def test_iceberg_append_and_snapshot_semantics(spark, tmp_path):
     assert snapshots[t1] == [1, 2]      # two snapshots, latest current
     assert snapshots[t2] == [3]
     assert len(snapshots) == 2          # one table per stage
+
+
+def test_iceberg_append_path_duck_typed(spark, tmp_path):
+    """mode='append' must drive DataFrameWriterV2.append() — the
+    Iceberg append-snapshot commit — so switching a metrics/lineage
+    table to a real catalog is a config change only (r4 task #8)."""
+    wh = Warehouse(spark, str(tmp_path / "whice2"), iceberg_catalog="lake")
+    calls = []
+
+    class FakeWriter:
+        def using(self, fmt):
+            calls.append(("using", fmt))
+            return self
+
+        def createOrReplace(self):
+            calls.append(("createOrReplace",))
+
+        def append(self):
+            calls.append(("append",))
+
+    class FakeDF:
+        def writeTo(self, table):
+            calls.append(("writeTo", table))
+            return FakeWriter()
+
+    table = wh.iceberg_write(FakeDF(), "metrics", mode="append")
+    assert table == f"lake.{wh.namespace}.metrics"
+    # append never swaps the table: no using/createOrReplace call
+    assert calls == [("writeTo", table), ("append",)]
+
+
+def test_emulation_append_snapshot_semantics(spark, tmp_path):
+    """The parquet+manifest emulation mirrors Iceberg snapshot
+    semantics: monotonically increasing parent-linked snapshot ids on
+    every commit, append stacking data files with delta-only
+    per-partition lineage, replace swapping the whole snapshot."""
+    wh = Warehouse(spark, str(tmp_path / "whsnap"))
+    a = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+    b = spark.range(10, 25).selectExpr("id", "id * 2 AS v")
+
+    wh.write(a, "m", "fp-a")
+    m1 = wh.manifest("m")
+    assert m1["snapshot_id"] == 1 and m1["parent_snapshot_id"] is None
+    assert m1["rows"] == 10 and wh.snapshot_id("m") == 1
+
+    wh.write(b, "m", "fp-ab", mode="append")
+    m2 = wh.manifest("m")
+    assert m2["snapshot_id"] == 2 and m2["parent_snapshot_id"] == 1
+    assert m2["rows"] == 25                      # cumulative table rows
+    assert sum(n for _, n in m2["partitions"]) == 15   # delta lineage only
+    assert set(m1["files"]) < set(m2["files"])   # files stack, never drop
+    assert wh.read("m").count() == 25
+    assert wh.snapshot_id("m") == 2
+
+    wh.write(a, "m", "fp-a2")                    # replace: snapshot swap
+    m3 = wh.manifest("m")
+    assert m3["snapshot_id"] == 3 and m3["parent_snapshot_id"] == 2
+    assert m3["rows"] == 10 and wh.read("m").count() == 10
+    assert sum(n for _, n in m3["partitions"]) == 10

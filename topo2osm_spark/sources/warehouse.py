@@ -96,14 +96,21 @@ class Warehouse:
         return (self.iceberg_catalog is not None
                 and _iceberg_available(self.spark))
 
-    def iceberg_write(self, df, name: str) -> str:
-        """Production Iceberg commit: createOrReplace is a single atomic
-        snapshot swap (the Iceberg equivalent of our manifest rename).
+    def iceberg_write(self, df, name: str, mode: str = "replace") -> str:
+        """Production Iceberg commit. mode='replace': createOrReplace,
+        a single atomic snapshot swap (the Iceberg equivalent of our
+        manifest rename). mode='append': writeTo(...).append(), a new
+        snapshot stacked on the current one (lineage/metrics tables).
         Returns the fully-qualified table name. df only needs the
         DataFrameWriterV2 surface (`writeTo`), so tests drive this with
-        a duck-typed recorder."""
+        a duck-typed recorder — a real iceberg jar drop-in is a config
+        change (iceberg_catalog=...), not a code change."""
         table = f"{self.iceberg_catalog}.{self.namespace}.{name}"
-        df.writeTo(table).using("iceberg").createOrReplace()
+        w = df.writeTo(table)
+        if mode == "append":
+            w.append()
+        else:
+            w.using("iceberg").createOrReplace()
         return table
 
     def _path(self, name: str) -> str:
@@ -132,7 +139,8 @@ class Warehouse:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(posixpath.join(self._path(name), "data"))
 
-    def _footer_counts(self, data_dir_fs: str) -> list[tuple[int, int]]:
+    def _footer_counts(self, data_dir_fs: str,
+                       with_names: bool = False) -> list:
         """Per-partition row counts from parquet FOOTERS — metadata-only
         (seekable open + a few KB of footer per file), never a second
         data scan, on ANY pyarrow filesystem. One part file == one
@@ -152,7 +160,8 @@ class Warehouse:
             m = re.match(r"part-(\d+)", fn)
             pid = int(m.group(1)) if m else len(out)
             with self._fs.open_input_file(info.path) as f:
-                out.append((pid, pq.ParquetFile(f).metadata.num_rows))
+                n = pq.ParquetFile(f).metadata.num_rows
+            out.append((pid, n, fn) if with_names else (pid, n))
         return out
 
     def _commit_manifest(self, name: str, man: dict) -> None:
@@ -175,22 +184,57 @@ class Warehouse:
                 self._fs.delete_file(final)
             self._fs.move(tmp, final)
 
-    def write(self, df: DataFrame, name: str, fp: str) -> DataFrame:
+    def snapshot_id(self, name: str) -> int | None:
+        """Latest committed snapshot id of a stage, None if never
+        written. Emulation manifests carry it explicitly (monotonic,
+        parent-linked — the Iceberg snapshot-log shape); on the real
+        Iceberg path the id comes from the table's snapshots metadata."""
+        if self._use_iceberg():
+            table = f"{self.iceberg_catalog}.{self.namespace}.{name}"
+            row = self.spark.sql(
+                f"SELECT snapshot_id FROM {table}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1").first()
+            return None if row is None else int(row["snapshot_id"])
+        m = self.manifest(name)
+        return None if m is None else m.get("snapshot_id")
+
+    def write(self, df: DataFrame, name: str, fp: str,
+              mode: str = "replace") -> DataFrame:
         """Materialize df -> parquet snapshot + manifest + lineage.
         Exactly ONE scan of df (the write itself); per-partition lineage
-        comes from the written files' parquet footers."""
+        comes from the written files' parquet footers.
+
+        mode='replace' (stage checkpoints): the whole snapshot is
+        swapped. mode='append' (metrics/lineage-style tables): new data
+        files stack onto the existing ones and the manifest commits a
+        NEW snapshot whose per-partition lineage covers only the DELTA
+        files — Iceberg append-snapshot semantics on the emulation
+        path (manifest = snapshot_id + parent_snapshot_id + file list)."""
         t0 = time.monotonic()
         if self._use_iceberg():
-            table = self.iceberg_write(df, name)
+            table = self.iceberg_write(df, name, mode=mode)
             return self.spark.read.table(table)
+        old_man = self.manifest(name)   # snapshot chaining (both modes)
+        prev_files = (set(old_man.get("files", []))
+                      if (old_man and mode == "append") else set())
         data = posixpath.join(self._path(name), "data")
-        df.write.mode("overwrite").parquet(data)
-        per_part = self._footer_counts(posixpath.join(self._fs_path(name), "data"))
+        df.write.mode("append" if mode == "append" else "overwrite") \
+            .parquet(data)
+        per_file = self._footer_counts(
+            posixpath.join(self._fs_path(name), "data"), with_names=True)
+        delta = [(pid, n) for pid, n, fn in per_file if fn not in prev_files]
+        per_part = delta if mode == "append" else [
+            (pid, n) for pid, n, _ in per_file]
         wall_ms = int((time.monotonic() - t0) * 1000)
         man = {
             "fingerprint": fp,
-            "rows": int(sum(n for _, n in per_part)),
+            "snapshot_id": (old_man.get("snapshot_id", 0) + 1)
+                           if old_man else 1,
+            "parent_snapshot_id": old_man.get("snapshot_id")
+                                  if old_man else None,
+            "rows": int(sum(n for _, n, _ in per_file)),
             "partitions": [[pid, n] for pid, n in per_part],
+            "files": [fn for _, _, fn in per_file],
             "wall_ms": wall_ms,
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
