@@ -126,3 +126,29 @@ def test_snap_chain_too_deep_raises(spark):
         "node_id long, lat double, lon double")
     with pytest.raises(Exception, match="converge"):
         nodeops.snap_mapping(chain, tol_m=0.5, max_abs_lat=72.0).collect()
+
+
+def test_with_canon_coords_matches_output_node_table(spark):
+    """The enriched snap map's (c_lat, c_lon) must equal the OUTPUT
+    node table's coordinates for the same canon_id — consumers joining
+    points to nodes on node_id never see divergent positions (r5 moved
+    this enrichment inside the checkpointed snap_map stage)."""
+    from topo2osm_spark.operators import nodes as nodeops
+
+    pts = spark.createDataFrame(
+        [(60.0, 10.0), (60.0 + 3e-7, 10.0 + 3e-7),   # snap pair
+         (61.0, 11.0), (61.0, 11.0)],                # exact dup
+        "lat double, lon double")
+    raw = nodeops.dedup_nodes(pts)
+    mapping = nodeops.snap_mapping(raw, tol_m=0.5, max_abs_lat=72.0)
+    enriched = nodeops.with_canon_coords(mapping, raw)
+    out = nodeops.snap_nodes_table(raw, enriched)
+    out_coords = {r["node_id"]: (r["lat"], r["lon"]) for r in out.collect()}
+    rows = enriched.collect()
+    assert rows, "the 3e-7-degree pair must produce a mapping row"
+    for r in rows:
+        assert (r["c_lat"], r["c_lon"]) == out_coords[r["canon_id"]]
+    # apply_snap must not leak the enrichment columns into its output
+    snapped = nodeops.apply_snap(
+        raw.select("node_id"), enriched)
+    assert set(snapped.columns) == {"node_id"}

@@ -134,3 +134,44 @@ def test_shoelace_antisymmetry_and_translation(seed, dlat, dlon):
     assert geom.shoelace_area(lat[::-1], lon[::-1]) == -a
     a_shift = geom.shoelace_area(lat + dlat, lon + dlon)
     assert abs(a_shift - a) <= 1e-9 * max(1.0, abs(a) / 1e-6)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(min_value=0, max_value=10**9))
+def test_chain_curves_reassembles_any_split(seed):
+    """Ring-assembly invariant the fused kernel and the doc-wide
+    fallback both rely on: ANY split of a closed ring into shared-
+    endpoint pieces — any cut count, any per-piece reversal, any piece
+    order — chains back into ONE closed ring over the same vertex set
+    (operators/assembly._chain_curves follows ref order first, then
+    repairs by endpoint matching with flips)."""
+    from topo2osm_spark.operators.assembly import _chain_curves, _is_closed
+
+    rng = np.random.default_rng(seed)
+    n_pts = int(rng.integers(6, 24))
+    t = np.sort(rng.uniform(0, 2 * np.pi, n_pts))
+    lat = 60.0 + 0.01 * np.cos(t)
+    lon = 10.0 + 0.01 * np.sin(t)
+    ring = np.column_stack([lat, lon])
+    ring = np.vstack([ring, ring[:1]])          # closed
+    k = int(rng.integers(1, min(5, n_pts)))
+    cuts = np.sort(rng.choice(np.arange(1, n_pts), size=k - 1,
+                              replace=False)) if k > 1 else np.array([], int)
+    bounds = [0, *cuts.tolist(), n_pts]
+    pieces = []
+    for j in range(k):
+        lo, hi = bounds[j], bounds[j + 1]
+        seg = ring[lo:hi + 1]                    # shared endpoints
+        if rng.random() < 0.5:
+            seg = seg[::-1]                      # stored reversed
+        pieces.append(seg)
+    if rng.random() < 0.5:
+        rng.shuffle(pieces)                      # out-of-order refs
+    rings = _chain_curves(pieces)
+    assert len(rings) == 1
+    out, closed = rings[0]
+    assert closed and _is_closed(out)
+    got = {(round(a, 12), round(b, 12)) for a, b in out.tolist()}
+    want = {(round(a, 12), round(b, 12)) for a, b in ring.tolist()}
+    assert got == want
+    assert len(out) == n_pts + 1                 # no duplicated junctions

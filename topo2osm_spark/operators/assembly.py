@@ -37,36 +37,48 @@ def _key(lat: float, lon: float) -> tuple[int, int]:
 def _chain_curves(pieces: list[np.ndarray]) -> list[tuple[np.ndarray, bool]]:
     """Chain ordered (lat, lon) piece arrays into rings.
 
-    Follows ref order first (the reference's primary path), falling
-    back to endpoint matching with flips (its repair path for
-    out-of-order refs). Returns [(ring_points, closed)].
+    Follows ref order first (the reference's primary path — the scan
+    below prefers the EARLIEST pending piece, so in-order refs chain
+    exactly as listed), falling back to endpoint matching with flips
+    against ALL remaining pieces (the repair path for out-of-order
+    refs; r5 — the previous single-lookahead greedy closed a chain out
+    on the first non-adjacent piece even when a later piece connected,
+    splitting rings that endpoint matching can recover). Genuinely
+    disconnected pieces still emit separate (possibly open) chains.
+    Returns [(ring_points, closed)].
     """
     rings: list[tuple[np.ndarray, bool]] = []
     cur: np.ndarray | None = None
     pending = list(pieces)
-    while pending:
-        nxt = pending.pop(0)
+    while pending or cur is not None:
         if cur is None:
-            cur = nxt
+            cur = pending.pop(0)
         else:
             tail = _key(cur[-1, 0], cur[-1, 1])
-            if _key(nxt[0, 0], nxt[0, 1]) == tail:
-                cur = np.vstack([cur, nxt[1:]])
-            elif _key(nxt[-1, 0], nxt[-1, 1]) == tail:
-                cur = np.vstack([cur, nxt[::-1][1:]])
-            elif _key(nxt[-1, 0], nxt[-1, 1]) == _key(cur[0, 0], cur[0, 1]):
-                cur = np.vstack([nxt, cur[1:]])
-            elif _key(nxt[0, 0], nxt[0, 1]) == _key(cur[0, 0], cur[0, 1]):
-                cur = np.vstack([nxt[::-1], cur[1:]])
+            head = _key(cur[0, 0], cur[0, 1])
+            for i, nxt in enumerate(pending):
+                s = _key(nxt[0, 0], nxt[0, 1])
+                e = _key(nxt[-1, 0], nxt[-1, 1])
+                if s == tail:
+                    cur = np.vstack([cur, nxt[1:]])
+                elif e == tail:
+                    cur = np.vstack([cur, nxt[::-1][1:]])
+                elif e == head:
+                    cur = np.vstack([nxt, cur[1:]])
+                elif s == head:
+                    cur = np.vstack([nxt[::-1], cur[1:]])
+                else:
+                    continue
+                pending.pop(i)
+                break
             else:
-                # discontinuity: close out current, start fresh
+                # nothing connects: close out current, start fresh
                 rings.append((cur, _is_closed(cur)))
-                cur = nxt
-        if cur is not None and len(cur) >= 4 and _is_closed(cur):
+                cur = None
+                continue
+        if len(cur) >= 4 and _is_closed(cur):
             rings.append((cur, True))
             cur = None
-    if cur is not None:
-        rings.append((cur, _is_closed(cur)))
     return rings
 
 
