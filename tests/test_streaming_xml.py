@@ -178,3 +178,50 @@ def test_split_tagged_nodes(spark, pipeline_out):
     assert rows[-1] == {"ele": "10", "name": "b"}
     assert rows[-2] == {"natural": "peak"}
     assert [r["node_id"] for r in p2.collect()] == [-3]
+
+
+def test_windowed_late_data_dropped_in_stream(spark, tmp_path):
+    """The §2.11 watermark contract driven in ACTUAL streaming mode:
+    an event arriving after the watermark has passed its window is
+    dropped — the emitted window count excludes it — while an on-time
+    event in the same micro-batch lands normally (append mode: a
+    window emits once its end passes the watermark)."""
+    import datetime as dt
+    inp = str(tmp_path / "ev_stream")
+    ckpt = str(tmp_path / "ev_ckpt")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double"
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    T = dt.datetime
+    # batch 1: two events in the 10:00 hour + one at 12:00 that will
+    # advance the watermark to 11:50 (10-minute watermark)
+    write_batch("b1", [(T(2026, 1, 1, 10, 0), "click", 1.0),
+                       (T(2026, 1, 1, 10, 20), "click", 1.0),
+                       (T(2026, 1, 1, 12, 0), "click", 1.0)])
+
+    from topo2osm_spark.streaming.stream import windowed_event_counts
+    ev = (spark.readStream
+          .schema("ts timestamp, event_type string, value double")
+          .option("maxFilesPerTrigger", 1).parquet(inp))
+    q = (windowed_event_counts(ev, window="1 hour", watermark="10 minutes")
+         .writeStream.format("memory").queryName("t_late_win")
+         .outputMode("append").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        # batch 2: one LATE event (10:30 < watermark 11:50) + one
+        # on-time event; then a batch-3 event far ahead to flush the
+        # 12:00 window past the watermark
+        write_batch("b2", [(T(2026, 1, 1, 10, 30), "click", 1.0),
+                           (T(2026, 1, 1, 12, 10), "click", 1.0)])
+        q.processAllAvailable()
+        write_batch("b3", [(T(2026, 1, 1, 15, 0), "click", 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["window_start"].hour: r["n"]
+            for r in spark.table("t_late_win").collect()}
+    assert rows[10] == 2, "late 10:30 event must be DROPPED by the watermark"
+    assert rows[12] == 2, "on-time 12:10 event must land in its window"
