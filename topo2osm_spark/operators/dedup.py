@@ -58,38 +58,59 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text",
             .where(F.col("n_dups") > 1))
 
 
-def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc (JVM-side: split + HOF)."""
-    toks = F.split(normalized(F.col(text_col)), " ")
+def _shingle_array(text_col, n: int = 3):
+    """Column expr: distinct non-empty word n-gram shingles of a text
+    column, as array<string> (split + HOFs, whole-stage codegen)."""
+    toks = F.split(normalized(text_col), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return (docs.withColumn("shingle", F.explode(F.array_distinct(grams)))
-                .where(F.length("shingle") > 0))
+    return F.filter(F.array_distinct(grams), lambda s: F.length(s) > 0)
+
+
+def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc, one row per shingle."""
+    return (docs.withColumn("shingle",
+                            F.explode(_shingle_array(F.col(text_col), n))))
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        n_hashes: int = N_HASHES,
                        mirrorable: bool = False) -> DataFrame:
-    """(id, sig array<long>): sig[i] = min over shingles of
-    hash(shingle, seed=i). All hashing JVM-side; one shuffle.
+    """(id, sig array<long>): sig[i] = min over shingles of the i-th
+    seeded hash. Explode + partial-aggregating groupBy: the per-seed
+    mins combine map-side, so the exchange carries one 32-long buffer
+    per (doc, partition), not the shingle corpus. (A row-wise
+    higher-order-function form — array_min(transform(...)) — was
+    measured 3-8x SLOWER here: HOF lambdas are CodegenFallback,
+    i.e. interpreted per element, while the agg path keeps every
+    hash inside whole-stage codegen.)
 
-    mirrorable=False (production): xxhash64 — fastest JVM path.
-    mirrorable=True: seeded md5h — bit-identical in DuckDB, so the
-    whole minhash+LSH pipeline gets a full SQL oracle."""
+    mirrorable=False (production): each shingle STRING is xxhash64'd
+    exactly once; the n_hashes per-seed values derive from re-hashing
+    the 8-byte base with the seed (xxhash64 over two longs, fixed
+    cost) — an n_hashes-fold cut in string-scan work vs seeding the
+    string hash directly, same independence structure (standard
+    one-hash MinHash practice).
+    mirrorable=True: seeded md5h per shingle — bit-identical in
+    DuckDB, so the whole minhash+LSH pipeline gets a full SQL oracle."""
     sh = shingles(docs, text_col)
-    hasher = ((lambda c, i: md5h(c, i)) if mirrorable
-              else (lambda c, i: F.xxhash64(c, F.lit(i))))
-    aggs = [F.min(hasher(F.col("shingle"), i)).alias(f"h{i}")
-            for i in range(n_hashes)]
+    if mirrorable:
+        aggs = [F.min(md5h(F.col("shingle"), i)).alias(f"h{i}")
+                for i in range(n_hashes)]
+    else:
+        sh = sh.withColumn("hb", F.xxhash64("shingle"))
+        aggs = [F.min(F.xxhash64("hb", F.lit(i))).alias(f"h{i}")
+                for i in range(n_hashes)]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(id_col, F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         band_rows: int = BAND_ROWS,
-                        mirrorable: bool = False) -> DataFrame:
+                        mirrorable: bool = False,
+                        carry_sig: bool = False) -> DataFrame:
     """Banded LSH: docs agreeing on ALL rows of any band become a
     candidate pair. Pairs are generated per bucket (self-join on
     (band, band_hash)) — the classic sub-quadratic shape.
@@ -97,7 +118,16 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     mirrorable=True uses the band's comma-joined value string as the
     bucket key (identical bucketing semantics, engine-portable);
     production hashes it with xxhash64 to keep the shuffle key fixed
-    width."""
+    width.
+
+    carry_sig=True returns (a, b, sig_a, sig_b): the signature arrays
+    ride through the bucket join (the MMDS bucket layout), so the
+    verify stage needs NO re-join against `sigs` — and, decisively,
+    no recomputation of the shingle-explode + H min-agg subtree, which
+    dominates the pipeline cost. The trade is ~2*H longs of extra
+    width on the band shuffle; sig is functionally dependent on the
+    id, so distinct over (a, b, sig_a, sig_b) yields the same pair
+    set as distinct over (a, b)."""
     bands = sigs.withColumn(
         "band", F.explode(F.sequence(
             F.lit(0), F.floor(F.size("sig") / band_rows).cast("int") - 1)))
@@ -108,11 +138,14 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     else:
         bands = bands.withColumn(
             "band_hash", F.xxhash64(band_vals.cast("string"), "band"))
-    left = bands.select(F.col(id_col).alias("a"), "band", "band_hash")
-    right = bands.select(F.col(id_col).alias("b"), "band", "band_hash")
+    extra_l = [F.col("sig").alias("sig_a")] if carry_sig else []
+    extra_r = [F.col("sig").alias("sig_b")] if carry_sig else []
+    left = bands.select(F.col(id_col).alias("a"), "band", "band_hash", *extra_l)
+    right = bands.select(F.col(id_col).alias("b"), "band", "band_hash", *extra_r)
+    out_cols = ["a", "b"] + (["sig_a", "sig_b"] if carry_sig else [])
     return (left.join(right, ["band", "band_hash"])
                 .where(F.col("a") < F.col("b"))
-                .select("a", "b").distinct())
+                .select(*out_cols).distinct())
 
 
 def minhash_similarity(sigs: DataFrame, pairs: DataFrame,
@@ -131,11 +164,23 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.7,
                       n_hashes: int = N_HASHES,
                       mirrorable: bool = False) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline -> (a, b, est_jaccard)."""
+    """Full MinHash+LSH near-dup pipeline -> (a, b, est_jaccard).
+
+    Signatures ride through the band join (carry_sig): the
+    shingle-explode + H min-agg subtree — the dominant cost — is
+    planned exactly once instead of three times (band join + two
+    verify re-joins), and the verify stage is a pure projection.
+    Result set is identical to the re-join form (same pairs, same
+    est_jaccard; the md5-mirror DuckDB oracle pins this)."""
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, mirrorable)
-    pairs = lsh_candidate_pairs(sigs, id_col, mirrorable=mirrorable)
-    return (minhash_similarity(sigs, pairs, id_col)
-            .where(F.col("est_jaccard") >= threshold))
+    pairs = lsh_candidate_pairs(sigs, id_col, mirrorable=mirrorable,
+                                carry_sig=True)
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda m: m)) / F.size("sig_a"), 4)
+    return (pairs.withColumn("est_jaccard", est)
+                 .where(F.col("est_jaccard") >= threshold)
+                 .select("a", "b", "est_jaccard"))
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
