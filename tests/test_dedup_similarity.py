@@ -59,6 +59,29 @@ def test_minhash_detects_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_carry_sig_equals_rejoin_form(spark):
+    """r5 restructure pin: carrying signatures through the LSH band
+    join (carry_sig) must yield EXACTLY the pairs+estimates of the
+    composable re-join form (lsh_candidate_pairs + minhash_similarity)
+    — sig is functionally dependent on the id, so the distinct over
+    (a, b, sig_a, sig_b) cannot change the pair set."""
+    from pyspark.sql import functions as F
+
+    from topo2osm_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_lsh_dedup, minhash_signatures,
+        minhash_similarity)
+    rows = [(i, f"alpha beta gamma delta w{i % 4} epsilon zeta eta "
+                f"theta iota kappa " * 3) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df)
+    rejoin = (minhash_similarity(sigs, lsh_candidate_pairs(sigs))
+              .where(F.col("est_jaccard") >= 0.5))
+    carried = minhash_lsh_dedup(df, threshold=0.5)
+    assert carried.exceptAll(rejoin).count() == 0
+    assert rejoin.exceptAll(carried).count() == 0
+    assert carried.count() > 0  # the pin is vacuous on an empty set
+
+
 def test_simhash_hamming(spark):
     from topo2osm_spark.operators.dedup import simhash_pairs
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
