@@ -561,9 +561,24 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
             "is_hole", "area", "lats", "lons")
 
     if run_tiles:
-        # S9b: raster<->vector join — tiles containing >=1 way node
-        media = tiles.parse_media_refs(
-            spans.where(F.col("kind") == "media").select("doc_id", "media_ref"))
+        # S9b: raster<->vector join — tiles containing >=1 way node.
+        # The media side re-scans the input, and it must NOT pay for
+        # the text column: Spark's nested pruning through explode()
+        # only fires when exactly ONE struct field is accessed
+        # (GeneratorNestedColumnAliasing bails at two — measured:
+        # kind+media_ref through posexplode reads the FULL span struct
+        # incl. text), so extract the two needed fields as parallel
+        # arrays (array-of-field extraction DOES prune) and zip them.
+        # ReadSchema: struct<kind,media_ref> — the text bytes, the
+        # bulk of the table, never leave the parquet reader.
+        media_spans = (docs.select(
+            "doc_id",
+            F.explode(F.arrays_zip(
+                F.col("spans.kind").alias("kind"),
+                F.col("spans.media_ref").alias("media_ref"))).alias("s"))
+            .where(F.col("s.kind") == "media")
+            .select("doc_id", F.col("s.media_ref").alias("media_ref")))
+        media = tiles.parse_media_refs(media_spans)
         vector_cells = (way_nodes
                         .withColumn("cell", tiles.cell_at_vector_res("lat", "lon"))
                         .select("doc_id", "way_id", "cell"))
