@@ -96,21 +96,39 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(F.encode(normalized(text), "UTF-8"))
 
 
+def _sliding_zip(arr: Column, width: int) -> Column:
+    """array<T> -> array<struct<t0..t{width-1}>> of the COMPLETE
+    sliding windows, via arrays_zip of the array with its shifted
+    copies (empty when fewer than `width` elements, incl. the
+    size()=-1 null case). The per-window work downstream becomes a
+    plain field expression — the transform(sequence, i -> f(slice(
+    arr, i, width))) form is semantically identical but pays an
+    interpreted slice() per window (HOF lambdas are CodegenFallback;
+    measured 7x slower on shingle construction, SCALING_NOTES r5)."""
+    n = F.size(arr)
+    zipped = F.arrays_zip(
+        arr.alias("t0"),
+        *[F.slice(arr, j + 1, n).alias(f"t{j}") for j in range(1, width)])
+    return F.when(n >= F.lit(width),
+                  F.slice(zipped, 1, n - F.lit(width - 1))
+                  ).otherwise(F.slice(zipped, 1, 0))
+
+
 def kgram_hashes(text: Column, k: int = 5) -> Column:
     """Rolling k-gram token hashes: xxhash64 of each k-token window of
-    the normalized text, in document order. Pure JVM higher-order
-    functions (sequence + transform + slice) — the distributed
-    equivalent of a Rabin-Karp scan, O(n·k) work per doc entirely in
-    codegen, no Python."""
+    the normalized text, in document order. Pure JVM expressions —
+    the distributed equivalent of a Rabin-Karp scan, O(n·k) work per
+    doc, no Python. Windows come from _sliding_zip (docs with fewer
+    than k tokens, or null text where size() = -1, yield an empty
+    hash array — same contract as before)."""
     toks = F.split(normalized(text), " ")
-    n = F.size(toks)
-    # sequence(1, 0) is DESCENDING [1, 0] in Spark, so a doc with fewer
-    # than k tokens (or null text, where size() = -1) must short-circuit
-    # to an empty window-index array instead of clamping the upper bound.
-    idx = F.when(n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1))
-                 ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))))
+    hashes = F.transform(
+        _sliding_zip(toks, k),
+        lambda x: F.xxhash64(F.concat_ws(
+            " ", *[x[f"t{j}"] for j in range(k)])))
+    # null text -> null split array propagates through zip/slice; the
+    # contract (and the old sequence-guard form) is an EMPTY hash array
+    return F.coalesce(hashes, F.array().cast("array<bigint>"))
 
 
 def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
@@ -124,10 +142,10 @@ def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     rolling hash"). Entirely JVM HOFs: O(n·(k+w)) codegen work per
     doc, one shuffle only if the caller explodes for a join."""
     hs = kgram_hashes(text, k)
-    n = F.size(hs)
-    # Same descending-sequence hazard as kgram_hashes: fewer than w
-    # k-gram hashes means no complete window -> empty fingerprint set.
-    widx = F.when(n >= F.lit(w), F.sequence(F.lit(1), n - F.lit(w - 1))
-                  ).otherwise(F.array().cast("array<int>"))
-    mins = F.transform(widx, lambda i: F.array_min(F.slice(hs, i, w)))
+    # fewer than w k-gram hashes -> no complete window -> empty
+    # fingerprint set (_sliding_zip's contract); per-window min is a
+    # plain least() over the zipped fields, no interpreted slice
+    mins = F.transform(
+        _sliding_zip(hs, w),
+        lambda x: F.least(*[x[f"t{j}"] for j in range(w)]))
     return F.array_sort(F.array_distinct(mins))
