@@ -96,7 +96,12 @@ def main() -> int:
     out = run_pipeline(spark, docs, warehouse=wh, resume=args.resume,
                        input_fp=input_fp, prefetch=not args.no_prefetch,
                        persist_level=args.persist_level,
-                       parse_partitions=args.parse_partitions)
+                       parse_partitions=args.parse_partitions,
+                       # file-backed input: keep the pruned parquet
+                       # scans (echo/media) instead of caching the
+                       # whole corpus; synthesized input: cache once,
+                       # generate once (pipeline.py cache_docs note)
+                       cache_docs=(args.input is None))
 
     stage_secs: dict[str, float] = {}
     stage_secs["plan_build"] = round(time.monotonic() - t0, 2)

@@ -143,7 +143,8 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
                  parse_partitions: int | None = None,
                  prefetch: bool = True,
                  snap_max_abs_lat: float = 72.0,
-                 snap_broadcast: bool | None = None) -> dict:
+                 snap_broadcast: bool | None = None,
+                 cache_docs: bool | None = None) -> dict:
     """Full conversion; returns a dict of output DataFrames.
 
     input_fp: identity of the INPUT dataset, folded into the root of
@@ -194,6 +195,24 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     # every ck() below folds ck_seq, so a changed input invalidates all
     # downstream checkpoints transitively.
     ck_seq = [f"input:{input_fp}"] if input_fp is not None else []
+
+    # cache_docs: `docs` feeds THREE independent output branches (the
+    # sosi parse chain, the span echo, the tile join's media re-scan).
+    # When the input is a generator (mapInArrow synthesis — the bench
+    # and scaling path), every branch re-runs the full Python corpus
+    # generation: measured 3x ~8 s per e2e rep at 50k docs. One lazy
+    # localCheckpoint materializes it once and the two re-scans read
+    # cached blocks (guide §2.4: remove recomputed passes outright).
+    # Auto policy: on for the in-memory checkpoint path; callers with
+    # FILE-backed input pass cache_docs=False (jobs/convert.py) so the
+    # media branch keeps its pruned parquet scan (ReadSchema
+    # struct<kind,media_ref>) instead of a full cached-corpus read.
+    if cache_docs is None:
+        cache_docs = warehouse is None and persist
+    if cache_docs and warehouse is None and persist:
+        docs = docs.localCheckpoint(eager=False, storageLevel=level)
+        if pf is not None:
+            pf.submit(docs, "documents")
 
     def ck(df: DataFrame, name: str, *fp_parts) -> DataFrame:
         _timing_log(f"plan:ck({name}) enter")
