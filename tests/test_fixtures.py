@@ -95,3 +95,20 @@ def test_zipf_municipality_skew(corpus):
     munis = Counter(r["doc_id"].split("-")[0] for r in corpus.to_pylist())
     counts = sorted(munis.values(), reverse=True)
     assert counts[0] >= 3 * counts[-1]  # head municipality is hot
+
+
+def test_generator_bytes_pinned():
+    """r6: the generator's output is pinned byte-for-byte (md5 over the
+    canonical JSON of the first 200 docs). The r6 vectorizations of
+    _emit_curve/_interior_point/_media_ref_for must never change a
+    single emitted byte — corpus content is the root of every
+    downstream determinism contract (way ids, node ids, tile refs)."""
+    import hashlib
+    import json
+    muni = fixtures.Municipalities(24, 42)
+    h = hashlib.md5()
+    for i in range(200):
+        d = fixtures.gen_doc(i, muni, 42, None, 3)
+        h.update(json.dumps(d, sort_keys=True,
+                            ensure_ascii=False).encode())
+    assert h.hexdigest() == "7675ba6c894d8e39558eedfff2d11e8a"

@@ -25,7 +25,13 @@ def shoelace_area(lat: np.ndarray, lon: np.ndarray) -> float:
         x, y = x[:-1], y[:-1]
     if len(x) < 3:
         return 0.0
-    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    # cyclic +1 shift via concatenate — value-identical to np.roll(_, -1)
+    # but without roll's general index arithmetic (hot in the assembly
+    # kernel and the fixture generator); the elementwise product array
+    # and np.sum order are unchanged, so the result is bit-identical.
+    xs = np.concatenate([x[1:], x[:1]])
+    ys = np.concatenate([y[1:], y[:1]])
+    return 0.5 * float(np.sum(x * ys - xs * y))
 
 
 def points_in_ring(pt_lat: np.ndarray, pt_lon: np.ndarray,
@@ -44,7 +50,8 @@ def points_in_ring(pt_lat: np.ndarray, pt_lon: np.ndarray,
     if len(rx) > 1 and rx[0] == rx[-1] and ry[0] == ry[-1]:
         rx, ry = rx[:-1], ry[:-1]
     x1, y1 = rx[None, :], ry[None, :]
-    x2, y2 = np.roll(rx, -1)[None, :], np.roll(ry, -1)[None, :]
+    x2 = np.concatenate([rx[1:], rx[:1]])[None, :]
+    y2 = np.concatenate([ry[1:], ry[:1]])[None, :]
     cond = (y1 > py) != (y2 > py)
     with np.errstate(divide="ignore", invalid="ignore"):
         xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)

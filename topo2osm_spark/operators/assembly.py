@@ -168,7 +168,8 @@ def assemble_rings(flates: DataFrame, curves: DataFrame) -> DataFrame:
     return grouped.mapInPandas(_assemble_batches, ASSEMBLED_RINGS)
 
 
-def assemble_rings_docwide(flates: DataFrame, curves: DataFrame) -> DataFrame:
+def assemble_rings_docwide(flates: DataFrame, curves: DataFrame,
+                           broadcast_refs: bool | None = None) -> DataFrame:
     """Document-wide ring assembly for FLATEs whose ..REF list crosses
     span boundaries (the fused span-local kernel defers these via
     n_orphan_refs > 0 — sources/sosi.py).
@@ -181,11 +182,21 @@ def assemble_rings_docwide(flates: DataFrame, curves: DataFrame) -> DataFrame:
     self-contained flate that merely carries a truly-missing ref
     assembles exactly as the span-local kernel would have.
 
-    The flate side is the deferred-orphan set (rare -> broadcast), so
-    the corpus-sized curve table never shuffles for this fallback;
-    truly-missing refs drop out of the inner join and surface in
-    integrity_report as before."""
+    broadcast_refs gates the broadcast hint on the deferred-ref set
+    (r6; the same policy as the pipeline's snap_broadcast): the set is
+    tiny on self-contained corpora, but its size is DATA-DEPENDENT —
+    on a corpus where cross-span documents are the norm (exactly when
+    this fallback fires) it is an exploded corpus-scaled table, and an
+    unconditional F.broadcast() would OOM the driver. None (default)
+    hints only when AQE is off (stats-free local plans where the set
+    is known-tiny); with AQE on, no hint — the runtime promotes to
+    broadcast from real stage stats when the set really is small, and
+    keeps a shuffle join when it is not. Truly-missing refs drop out
+    of the inner join and surface in integrity_report as before."""
     from pyspark.sql import Window
+    if broadcast_refs is None:
+        broadcast_refs = str(flates.sparkSession.conf.get(
+            "spark.sql.adaptive.enabled", "true")).lower() != "true"
     refs = (flates
             .select("doc_id", "span_idx",
                     F.col("obj_id").alias("flate_id"),
@@ -202,7 +213,8 @@ def assemble_rings_docwide(flates: DataFrame, curves: DataFrame) -> DataFrame:
                       F.col("obj_id").alias("curve_id"),
                       F.col("lats").alias("c_lats"),
                       F.col("lons").alias("c_lons"))
-    joined = c.join(F.broadcast(refs), ["doc_id", "curve_id"], "inner")
+    joined = c.join(F.broadcast(refs) if broadcast_refs else refs,
+                    ["doc_id", "curve_id"], "inner")
     w = (Window.partitionBy("doc_id", "span_idx", "flate_id", "ref_pos")
          .orderBy((F.col("c_span_idx") == F.col("span_idx")).desc(),
                   F.col("c_span_idx")))

@@ -30,7 +30,15 @@ _PLANE_SEED = 1234
 
 
 def cosine_col(vec_col, query: list[float]):
-    """Column: cosine(vec, literal query) in double precision."""
+    """Column: cosine(vec, literal query) in double precision.
+
+    Kept as zip_with/aggregate HOFs DELIBERATELY (r6, measured): a
+    fully-unrolled 64-term codegen sum chain (F.get per element) was
+    tried and ran 3x SLOWER at sf1.0 (0.64 s -> 1.9 s median, noop
+    sink) — a 128-subexpression chain blows the codegen method budget
+    and the whole projection falls back to interpreted eval, which is
+    worse than the HOF loop. Guide §1.1's 'fresh ideal plan is often
+    slower because of some gotcha' in the flesh."""
     q = F.array(*[F.lit(float(x)) for x in query])
     v = F.transform(vec_col, lambda x: x.cast("double"))
     dot = F.aggregate(F.zip_with(v, q, lambda x, y: x * y),

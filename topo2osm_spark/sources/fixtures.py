@@ -100,10 +100,23 @@ def _emit_curve(buf: list[str], cid: int, objtype: str, n: np.ndarray,
     buf.append(f".KURVE {cid}:")
     buf.append(f"..OBJTYPE {objtype}")
     buf.append("..NØH" if heights is not None else "..NØ")
-    for i in range(len(n)):
-        row = f"{_fmt_int(n[i])} {_fmt_int(e[i])}"
-        if heights is not None:
-            row += f" {int(round(heights[i] / ENHET))}"
+    # vectorized row formatting: np.rint is round-half-even exactly like
+    # round() on a float, so the emitted integers match the former
+    # per-point f"{_fmt_int(..)}" loop byte-for-byte (pinned by
+    # test_fixture_bytes_identical); the generator spends ~20% of its
+    # time here at 50k docs.
+    ni = np.rint(np.asarray(n, dtype=np.float64) / ENHET).astype(np.int64).tolist()
+    ei = np.rint(np.asarray(e, dtype=np.float64) / ENHET).astype(np.int64).tolist()
+    if heights is not None:
+        hi = np.rint(np.asarray(heights, dtype=np.float64) / ENHET) \
+               .astype(np.int64).tolist()
+        rows = [f"{a} {b} {h}" for a, b, h in zip(ni, ei, hi)]
+    else:
+        rows = [f"{a} {b}" for a, b in zip(ni, ei)]
+    if not kp_idx:
+        buf.extend(rows)
+        return
+    for i, row in enumerate(rows):
         buf.append(row)
         if i in kp_idx:
             buf.append("...KP 1")
@@ -146,16 +159,27 @@ def _split_ring_into_curves(rng, n, e, next_id, buf, edge_objtype,
 
 
 def _interior_point(n, e, rng):
-    """A point verified inside the ring (ray-cast); None if not found."""
+    """A point verified inside the ring (ray-cast); None if not found.
+
+    Consumes NO rng draws. All candidates are ray-cast in ONE batched
+    points_in_ring call (the kernel is vectorized over points) and the
+    first hit in the original probe order is returned — the former
+    per-candidate scalar calls spent ~30% of generator time on call
+    overhead. Candidate arithmetic is elementwise-identical (np.round
+    is the same round-half-even as round() on a float scalar)."""
     cn, ce = float(np.mean(n)), float(np.mean(e))
-    for frac in (0.0, 0.2, 0.4, -0.2, 0.6, -0.4):
-        for i in range(0, len(n), max(1, len(n) // 4)):
-            pn = cn + frac * (n[i] - cn)
-            pe = ce + frac * (e[i] - ce)
-            pn = round(pn / ENHET) * ENHET
-            pe = round(pe / ENHET) * ENHET
-            if geom.points_in_ring(np.array([pn]), np.array([pe]), n, e)[0]:
-                return pn, pe
+    idx = np.arange(0, len(n), max(1, len(n) // 4))
+    fracs = np.array([0.0, 0.2, 0.4, -0.2, 0.6, -0.4])
+    # candidate grid in probe order: fracs major, ring index minor
+    pn = cn + fracs[:, None] * (n[idx][None, :] - cn)
+    pe = ce + fracs[:, None] * (e[idx][None, :] - ce)
+    pn = (np.round(pn / ENHET) * ENHET).ravel()
+    pe = (np.round(pe / ENHET) * ENHET).ravel()
+    inside = geom.points_in_ring(pn, pe, n, e)
+    hits = np.nonzero(inside)[0]
+    if hits.size:
+        j = int(hits[0])
+        return pn[j], pe[j]
     return None
 
 
@@ -336,15 +360,23 @@ def _gen_sosi_fragment(rng, ce, cn, err_rate=0.01) -> tuple[str, tuple]:
                             float(nn.min()), float(nn.max()))
 
 
-def _media_ref_for(rng, e_mid, n_mid, stray_rate=0.05) -> str:
-    lat, lon = proj.utm_inverse(np.array([e_mid]), np.array([n_mid]), ZONE)
+def _media_ref_for(rng, lat, lon, stray_rate=0.05) -> str:
+    """lat/lon: 1-element arrays, the doc midpoint already projected —
+    hoisted to gen_doc so the (rng-free) Krueger inverse runs once per
+    document instead of once per media span."""
     z = int(rng.integers(10, 15))
     if rng.random() < stray_rate:  # deliberately non-overlapping tile
         lat = lat + rng.uniform(3, 6)
         lon = lon - rng.uniform(3, 6)
-    c = cells.encode(lat, lon, z)
-    zz, xx, yy = cells.cell_to_tile(c)
-    return f"tile/{zz[0]}/{xx[0]}/{yy[0]}"
+    # tile x/y are exactly encode()'s ix/iy intermediates —
+    # cell_to_tile(encode(..)) round-tripped them through the Morton
+    # spread/compact (exact inverses) for nothing; compute them direct.
+    x, y = cells.lonlat_to_norm(lon, lat)
+    n = np.uint64(1) << np.uint64(z)
+    nf = float(2 ** z)
+    xx = np.minimum((x * nf).astype(np.uint64), n - np.uint64(1))
+    yy = np.minimum((y * nf).astype(np.uint64), n - np.uint64(1))
+    return f"tile/{z}/{xx[0]}/{yy[0]}"
 
 
 def gen_doc(doc_index: int, muni: Municipalities, seed: int = 42,
@@ -369,8 +401,10 @@ def gen_doc(doc_index: int, muni: Municipalities, seed: int = 42,
         bboxes.append(bbox)
     e_mid = float(np.mean([(b[0] + b[1]) / 2 for b in bboxes]))
     n_mid = float(np.mean([(b[2] + b[3]) / 2 for b in bboxes]))
+    mid_lat, mid_lon = proj.utm_inverse(np.array([e_mid]), np.array([n_mid]),
+                                        ZONE)
     for _ in range(int(rng.integers(0, 5))):
-        spans.append(("media", "", _media_ref_for(rng, e_mid, n_mid)))
+        spans.append(("media", "", _media_ref_for(rng, mid_lat, mid_lon)))
     # strictly increasing offsets over the interleaving order…
     order = rng.permutation(len(spans))
     offsets = np.cumsum(rng.integers(1, 5, len(spans)))

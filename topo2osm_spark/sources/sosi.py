@@ -132,6 +132,17 @@ def parse_fragment(text: str, doc_id: str = "", span_idx: int = 0,
         ref_parts: list[str] = []
         mode = None
         for ln in lines:
+            # fast path first: the overwhelming majority of lines are
+            # coordinate rows (no leading dot) — the directive
+            # startswith chain below only runs for dot-lines, same
+            # dispatch result as the former single chain.
+            if ln[0] != ".":
+                if mode == "coords":
+                    if _NUM_LINE_RE.match(ln):
+                        coord_lines.append(ln)
+                elif mode == "refs":
+                    ref_parts.append(ln)
+                continue
             if ln.startswith("..OBJTYPE"):
                 objtype = ln.split(None, 1)[1].strip()
                 mode = None
@@ -149,12 +160,8 @@ def parse_fragment(text: str, doc_id: str = "", span_idx: int = 0,
             elif ln.startswith("...KP"):
                 if mode == "coords":
                     coord_lines.append(ln)
-            elif ln.startswith("."):
+            else:
                 mode = None  # .SLUTT or unknown group
-            elif mode == "refs":
-                ref_parts.append(ln)
-            elif mode == "coords" and _NUM_LINE_RE.match(ln):
-                coord_lines.append(ln)
         coords, kp = _parse_coord_block(
             coord_lines, hdr["enhet"], hdr["origo_n"], hdr["origo_e"])
         refs, hole_group = _parse_refs(" ".join(ref_parts)) if ref_parts else ([], [])
