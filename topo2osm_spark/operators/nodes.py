@@ -55,10 +55,17 @@ def quantize(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon") -> DataF
 
 def dedup_nodes(point_df: DataFrame) -> DataFrame:
     """op 12: quantized points -> one row per distinct node with a
-    reference count. Partial aggregation (map-side combine) is free."""
+    reference count. Partial aggregation (map-side combine) is free.
+
+    node_id is a pure function of (qlat, qlon), so it is NOT an
+    aggregation key (r6): grouping on the two coordinate ints narrows
+    the partial-agg exchange rows by a third (mostly-singleton groups
+    barely combine map-side, so the exchange carries ~every group) and
+    the 2.3M hashes move to the reduce side — identical output."""
     q = quantize(point_df)
-    return (q.groupBy("qlat", "qlon", "node_id")
+    return (q.groupBy("qlat", "qlon")
              .agg(F.count(F.lit(1)).cast("int").alias("n_refs"))
+             .withColumn("node_id", content_id("qlat", "qlon"))
              .withColumn("lat", F.col("qlat") / F.lit(10.0 ** QUANT))
              .withColumn("lon", F.col("qlon") / F.lit(10.0 ** QUANT))
              .select("node_id", "lat", "lon", "n_refs"))

@@ -209,8 +209,10 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     # struct<kind,media_ref>) instead of a full cached-corpus read.
     if cache_docs is None:
         cache_docs = warehouse is None and persist
+    docs_cached = False
     if cache_docs and warehouse is None and persist:
         docs = docs.localCheckpoint(eager=False, storageLevel=level)
+        docs_cached = True
         if pf is not None:
             pf.submit(docs, "documents")
 
@@ -251,11 +253,23 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     # shuffle of the raw span text is cheap next to tokenization and
     # buys even per-task work at any input file layout — the same
     # reasoning AQE's rebalance applies on a real cluster.
-    # parse_partitions: None = auto, 0 = keep the scan layout
+    # parse_partitions: None = auto, 0 = keep the scan layout.
+    # Auto (r6): when the docs table is OUR cached checkpoint with at
+    # least core-count partitions, keep its layout — the generator
+    # range-partitions by doc COUNT, so cached blocks are already
+    # balanced and the span-text shuffle would be a pure extra pass
+    # plus a barrier between generation and parse (measured ~1 s of
+    # 7.7 at 50k docs). The rebalance repartition stays for file-backed
+    # input, where scan bin-packing sizes splits for scan cost, not
+    # parse cost (original rationale above).
     n_parse = parse_partitions
     if n_parse is None:
-        n_parse = max(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                      2 * spark.sparkContext.defaultParallelism)
+        if docs_cached and (docs.rdd.getNumPartitions()
+                            >= spark.sparkContext.defaultParallelism):
+            n_parse = 0
+        else:
+            n_parse = max(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                          2 * spark.sparkContext.defaultParallelism)
     sosi_spans = spans.where(F.col("kind") == "sosi")
     if n_parse:
         sosi_spans = sosi_spans.repartition(n_parse)
