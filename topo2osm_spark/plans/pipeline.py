@@ -262,10 +262,19 @@ def run_pipeline(spark: SparkSession, docs: DataFrame, snap_tol_m: float = 0.5,
     # 7.7 at 50k docs). The rebalance repartition stays for file-backed
     # input, where scan bin-packing sizes splits for scan cost, not
     # parse cost (original rationale above).
+    # The generator stamps its layout width into doc_id's column
+    # metadata (sources/fixtures.documents_df) — the RDD API is off
+    # limits here (static guard), so that stamp is how the plan learns
+    # the input width without touching the RDD layer. Absent stamp (e.g.
+    # createDataFrame inputs) -> conservative rebalance as before.
     n_parse = parse_partitions
     if n_parse is None:
-        if docs_cached and (docs.rdd.getNumPartitions()
-                            >= spark.sparkContext.defaultParallelism):
+        try:
+            gen_parts = int(docs.schema["doc_id"].metadata.get(
+                "gen_partitions", 0))
+        except Exception:
+            gen_parts = 0
+        if docs_cached and gen_parts >= spark.sparkContext.defaultParallelism:
             n_parse = 0
         else:
             n_parse = max(int(spark.conf.get("spark.sql.shuffle.partitions")),

@@ -443,5 +443,13 @@ def documents_df(spark, n_docs: int, n_municipalities: int = 24,
             rows = [gen_doc(int(i), muni, seed, None, max_sosi) for i in idxs]
             yield pa.RecordBatch.from_pylist(rows, schema=ARROW_DOCUMENTS)
 
-    rng_df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
-    return rng_df.mapInArrow(gen_batches, DOCUMENTS)
+    parts = int(partitions or spark.sparkContext.defaultParallelism)
+    rng_df = spark.range(0, n_docs, 1, parts)
+    # stamp the generation layout width into column metadata: the
+    # pipeline's parse-rebalance decision needs the partition count,
+    # and the engine contract forbids the RDD API (test_no_row_udf
+    # test_no_rdd_usage), so the partition count cannot be probed.
+    # Range partitions are balanced by doc COUNT, so `gen_partitions`
+    # also asserts "already balanced for per-doc work".
+    return (rng_df.mapInArrow(gen_batches, DOCUMENTS)
+            .withMetadata("doc_id", {"gen_partitions": parts}))
