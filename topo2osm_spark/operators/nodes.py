@@ -76,8 +76,7 @@ _M_PER_DEG = 111320.0
 
 def snap_mapping(nodes: DataFrame, tol_m: float = 0.5,
                  iterations: int = 2,
-                 max_abs_lat: float | None = None,
-                 broadcast_labels: bool | None = None) -> DataFrame:
+                 max_abs_lat: float | None = None) -> DataFrame:
     """op 13: (node_id, lat, lon) -> (node_id, canon_id) for nodes that
     snap to a lower-id node within tol_m. Identity rows are omitted.
 
@@ -115,22 +114,6 @@ def snap_mapping(nodes: DataFrame, tol_m: float = 0.5,
     because g is ~2 m.
     """
     import math
-    # broadcast_labels (r6): the label-propagation chain below is ~8
-    # joins over the EDGE-sized tables (merge candidates only — tiny
-    # on any sane corpus). With AQE off and no stats, each planned as
-    # a sort-merge join: two exchanges + sorts of near-empty data, a
-    # fixed ~0.3-0.5 s of stage latency per join that dominated the
-    # snap wall at bench scale. Same gate as every other snap join:
-    # hint only when AQE is off; with AQE on let runtime stats decide
-    # (labels are data-dependent — a pathological corpus could grow
-    # them past broadcast size, exactly like the snap map itself).
-    if broadcast_labels is None:
-        broadcast_labels = str(nodes.sparkSession.conf.get(
-            "spark.sql.adaptive.enabled", "true")).lower() != "true"
-
-    def _bl(df):
-        return F.broadcast(df) if broadcast_labels else df
-
     guard = max_abs_lat is not None
     if max_abs_lat is None:
         row = nodes.agg(F.max(F.abs(F.col("lat"))).alias("m")).first()
@@ -210,11 +193,11 @@ def snap_mapping(nodes: DataFrame, tol_m: float = 0.5,
                       F.least("node_id", "nbr_min").alias("canon_id")))
     for _ in range(iterations):
         nbr = (edges_bi.join(
-                   _bl(labels.select(F.col("node_id").alias("n2"), "canon_id")),
+                   labels.select(F.col("node_id").alias("n2"), "canon_id"),
                    F.col("hi") == F.col("n2"))
                .groupBy(F.col("lo").alias("node_id"))
                .agg(F.min("canon_id").alias("nbr_canon")))
-        labels = (labels.join(_bl(nbr), "node_id", "left")
+        labels = (labels.join(nbr, "node_id", "left")
                   .select("node_id",
                           F.least(F.coalesce("nbr_canon", "canon_id"),
                                   F.col("canon_id")).alias("canon_id")))
@@ -228,13 +211,13 @@ def snap_mapping(nodes: DataFrame, tol_m: float = 0.5,
     #    previously be SILENT (two nodes of one component keeping
     #    different canons). raise_error folded into the output column
     #    makes it loud at materialization, like the max_abs_lat guard.
-    l2 = _bl(labels.select(F.col("node_id").alias("__n2"),
-                           F.col("canon_id").alias("__c2")))
+    l2 = labels.select(F.col("node_id").alias("__n2"),
+                       F.col("canon_id").alias("__c2"))
     labels = (labels.join(l2, labels["canon_id"] == l2["__n2"], "left")
               .select("node_id",
                       F.coalesce("__c2", "canon_id").alias("canon_id")))
-    l3 = _bl(labels.select(F.col("node_id").alias("__n3"),
-                           F.col("canon_id").alias("__c3")))
+    l3 = labels.select(F.col("node_id").alias("__n3"),
+                       F.col("canon_id").alias("__c3"))
     labels = (labels.join(l3, labels["canon_id"] == l3["__n3"], "left")
               .select("node_id",
                       F.when(F.col("__c3").isNull()
