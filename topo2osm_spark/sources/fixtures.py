@@ -169,17 +169,18 @@ def _interior_point(n, e, rng):
     is the same round-half-even as round() on a float scalar)."""
     cn, ce = float(np.mean(n)), float(np.mean(e))
     idx = np.arange(0, len(n), max(1, len(n) // 4))
-    fracs = np.array([0.0, 0.2, 0.4, -0.2, 0.6, -0.4])
-    # candidate grid in probe order: fracs major, ring index minor
-    pn = cn + fracs[:, None] * (n[idx][None, :] - cn)
-    pe = ce + fracs[:, None] * (e[idx][None, :] - ce)
-    pn = (np.round(pn / ENHET) * ENHET).ravel()
-    pe = (np.round(pe / ENHET) * ENHET).ravel()
-    inside = geom.points_in_ring(pn, pe, n, e)
-    hits = np.nonzero(inside)[0]
-    if hits.size:
-        j = int(hits[0])
-        return pn[j], pe[j]
+    ni, ei = n[idx], e[idx]
+    # one batched ray-cast per frac, in probe order (frac major, ring
+    # index minor — same candidate sequence as ever): frac 0.0 (the
+    # centroid, every candidate identical) hits for most rings, so
+    # later fracs are rarely even computed.
+    for frac in (0.0, 0.2, 0.4, -0.2, 0.6, -0.4):
+        pn = np.round((cn + frac * (ni - cn)) / ENHET) * ENHET
+        pe = np.round((ce + frac * (ei - ce)) / ENHET) * ENHET
+        hits = np.nonzero(geom.points_in_ring(pn, pe, n, e))[0]
+        if hits.size:
+            j = int(hits[0])
+            return pn[j], pe[j]
     return None
 
 

@@ -54,20 +54,30 @@ def _parse_header(text: str) -> dict:
 
 
 def _parse_coord_block(lines: list[str], enhet: float, origo_n: float,
-                       origo_e: float) -> tuple[np.ndarray, list[int]]:
+                       origo_e: float,
+                       pre_split: bool = False) -> tuple[np.ndarray, list[int]]:
     """Coordinate lines (+ interleaved ...KP markers) -> (coords, kp).
     coords is an (n, 2|3) float64 ndarray — the numpy form feeds the
-    fused parse+project kernel without a list round-trip."""
-    kp: list[int] = []
-    num_rows: list[str] = []
-    for ln in lines:
-        if ln.startswith("...KP"):
-            if num_rows:
-                # KP marks the immediately preceding coordinate
-                kp.append(len(num_rows) - 1)
-            continue
-        if _NUM_LINE_RE.match(ln):
-            num_rows.append(ln)
+    fused parse+project kernel without a list round-trip.
+
+    pre_split=True (r6 hot path): `lines` is (num_rows, kp) already
+    classified by the caller's line dispatch — parse_fragment knows
+    which lines are KP markers vs coordinate rows the moment it
+    appends them, so re-scanning here was a second pass over ~90% of
+    the fragment bytes."""
+    if pre_split:
+        num_rows, kp = lines
+    else:
+        kp = []
+        num_rows = []
+        for ln in lines:
+            if ln.startswith("...KP"):
+                if num_rows:
+                    # KP marks the immediately preceding coordinate
+                    kp.append(len(num_rows) - 1)
+                continue
+            if _NUM_LINE_RE.match(ln):
+                num_rows.append(ln)
     if not num_rows:
         return np.empty((0, 2)), kp
     # hot path: one parse over the joined block when width is uniform
@@ -128,7 +138,8 @@ def parse_fragment(text: str, doc_id: str = "", span_idx: int = 0,
         lines = [ln.strip() for ln in body.split("\n") if ln.strip()]
         objtype = None
         streng = None
-        coord_lines: list[str] = []
+        num_rows: list[str] = []
+        kp_marks: list[int] = []
         ref_parts: list[str] = []
         mode = None
         for ln in lines:
@@ -139,7 +150,7 @@ def parse_fragment(text: str, doc_id: str = "", span_idx: int = 0,
             if ln[0] != ".":
                 if mode == "coords":
                     if _NUM_LINE_RE.match(ln):
-                        coord_lines.append(ln)
+                        num_rows.append(ln)
                 elif mode == "refs":
                     ref_parts.append(ln)
                 continue
@@ -158,12 +169,14 @@ def parse_fragment(text: str, doc_id: str = "", span_idx: int = 0,
             elif ln.startswith("..NØ"):  # ..NØ and ..NØH
                 mode = "coords"
             elif ln.startswith("...KP"):
-                if mode == "coords":
-                    coord_lines.append(ln)
+                # KP marks the immediately preceding coordinate row
+                if mode == "coords" and num_rows:
+                    kp_marks.append(len(num_rows) - 1)
             else:
                 mode = None  # .SLUTT or unknown group
         coords, kp = _parse_coord_block(
-            coord_lines, hdr["enhet"], hdr["origo_n"], hdr["origo_e"])
+            (num_rows, kp_marks), hdr["enhet"], hdr["origo_n"],
+            hdr["origo_e"], pre_split=True)
         refs, hole_group = _parse_refs(" ".join(ref_parts)) if ref_parts else ([], [])
         out.append({
             "doc_id": doc_id,
